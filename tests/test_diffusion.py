@@ -1,0 +1,207 @@
+"""Diffusion schedule + spaced sampler math tests.
+
+Golden strategy (SURVEY.md §4): closed-form identities + parity against the
+reference's torch implementation of `model/gaussian_diffusion.py` (imported
+straight from /root/reference, which only needs numpy+torch).
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edtr_tpu.diffusion.schedule import (
+    Diffusion,
+    extract,
+    make_beta_schedule,
+    space_timesteps,
+)
+from edtr_tpu.diffusion.sampler import (
+    SpacedSampler,
+    make_spaced_schedule,
+    p_sample,
+    sample_scan,
+)
+
+REF = "/root/reference"
+
+
+def _ref_diffusion():
+    # Load the reference module straight from its file to avoid the heavy
+    # model/__init__.py import chain (torchvision isn't installed here).
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_gaussian_diffusion", f"{REF}/model/gaussian_diffusion.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    TorchDiffusion = mod.Diffusion
+
+    return TorchDiffusion(
+        timesteps=1000, linear_start=0.00085, linear_end=0.0120, beta_schedule="linear"
+    )
+
+
+def test_beta_schedule_linear_matches_reference_tables():
+    ref = _ref_diffusion()
+    ours = Diffusion.create(timesteps=1000, linear_start=0.00085, linear_end=0.0120)
+    np.testing.assert_allclose(
+        np.asarray(ours.betas), ref.betas.astype(np.float32), rtol=0, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.sqrt_alphas_cumprod),
+        ref.sqrt_alphas_cumprod.numpy(),
+        rtol=0,
+        atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.sqrt_recipm1_alphas_cumprod),
+        ref.sqrt_recipm1_alphas_cumprod.numpy(),
+        rtol=0,
+        atol=1e-6,
+    )
+
+
+def test_q_sample_and_xstart_roundtrip_match_reference(rng):
+    import torch
+
+    ref = _ref_diffusion()
+    ours = Diffusion.create(timesteps=1000, linear_start=0.00085, linear_end=0.0120)
+    x0 = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+    noise = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+    t = np.array([200, 50], dtype=np.int64)
+
+    ref_xt = ref.q_sample(torch.from_numpy(x0), torch.from_numpy(t), torch.from_numpy(noise))
+    our_xt = ours.q_sample(jnp.asarray(x0), jnp.asarray(t, jnp.int32), jnp.asarray(noise))
+    np.testing.assert_allclose(np.asarray(our_xt), ref_xt.numpy(), rtol=1e-6, atol=1e-6)
+
+    # eps-parameterized x0 recovery must invert q_sample exactly
+    x0_rec = ours.predict_xstart_from_eps(our_xt, jnp.asarray(t, jnp.int32), jnp.asarray(noise))
+    np.testing.assert_allclose(np.asarray(x0_rec), x0, rtol=1e-4, atol=1e-4)
+
+
+def test_get_v_matches_reference(rng):
+    import torch
+
+    ref = _ref_diffusion()
+    ours = Diffusion.create(timesteps=1000, linear_start=0.00085, linear_end=0.0120)
+    x = rng.standard_normal((2, 4, 4, 4)).astype(np.float32)
+    noise = rng.standard_normal((2, 4, 4, 4)).astype(np.float32)
+    t = np.array([0, 999], dtype=np.int64)
+    ref_v = ref.get_v(torch.from_numpy(x), torch.from_numpy(noise), torch.from_numpy(t))
+    our_v = ours.get_v(jnp.asarray(x), jnp.asarray(noise), jnp.asarray(t, jnp.int32))
+    np.testing.assert_allclose(np.asarray(our_v), ref_v.numpy(), rtol=1e-6, atol=1e-6)
+
+
+def test_space_timesteps_known_values():
+    # EDTR-s4 schedule: start_timestep=200, 4 steps -> [50, 100, 150, 200]
+    # is passed manually; the generic spacing must reproduce IDDPM behavior.
+    assert space_timesteps(1000, "1") == {0}
+    got = sorted(space_timesteps(1000, "4"))
+    assert len(got) == 4 and got[0] == 0 and got[-1] == 999
+    assert sorted(space_timesteps(10, "10")) == list(range(10))
+    assert sorted(space_timesteps(1000, "ddim50")) == list(range(0, 1000, 20))
+
+
+def test_spaced_schedule_marginal_consistency():
+    """Spaced alphas_cumprod must equal the original at the kept timesteps.
+
+    This is the defining property of IDDPM respacing (utils/sampler.py:94-96).
+    """
+    betas = make_beta_schedule("linear", 1000, 0.00085, 0.0120)
+    used = [50, 100, 150, 200]
+    sched = make_spaced_schedule(betas, 4, used)
+    orig_ac = np.cumprod(1.0 - betas)
+    # sqrt_recip_alphas_cumprod[i] == sqrt(1/orig_ac[timesteps[i]])
+    for i, ts in enumerate(used):
+        np.testing.assert_allclose(
+            float(sched.sqrt_recip_alphas_cumprod[i]),
+            np.sqrt(1.0 / orig_ac[ts]),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(sched.sqrt_recipm1_alphas_cumprod[i]),
+            np.sqrt(1.0 / orig_ac[ts] - 1.0),
+            rtol=1e-6,
+        )
+
+
+def test_single_step_sampler_returns_pred_x0():
+    """With one step, posterior coef1==1, coef2==0, and index==0 masks the
+    noise, so x_prev must equal the model's x0 estimate exactly."""
+    betas = make_beta_schedule("linear", 1000, 0.00085, 0.0120)
+    sched = make_spaced_schedule(betas, 1, [200])
+    np.testing.assert_allclose(float(sched.posterior_mean_coef1[0]), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(float(sched.posterior_mean_coef2[0]), 0.0, atol=1e-12)
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 8, 8, 4)), jnp.float32)
+    eps_value = 0.3 * jnp.ones_like(x)
+    model_fn = lambda xt, t, cond: eps_value
+    x_prev, pred_x0 = p_sample(
+        model_fn, sched, x,
+        jnp.array([200], jnp.int32), jnp.array([0], jnp.int32), {},
+        jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(np.asarray(x_prev), np.asarray(pred_x0), rtol=1e-6)
+    expected = sched.predict_xstart_from_eps(x, jnp.array([0], jnp.int32), eps_value)
+    np.testing.assert_allclose(np.asarray(pred_x0), np.asarray(expected), rtol=1e-6)
+
+
+def test_sample_scan_matches_python_loop():
+    """The lax.scan compilation must be step-for-step identical to an eager
+    Python loop over p_sample with the same keys."""
+    betas = make_beta_schedule("linear", 1000, 0.00085, 0.0120)
+    used = [50, 100, 150, 200]
+    sched = make_spaced_schedule(betas, 4, used)
+    model_fn = lambda x, t, cond: 0.1 * x + cond["c"]
+
+    x_T = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 8, 8, 4)), jnp.float32
+    )
+    cond = {"c": jnp.full((1, 1, 1, 4), 0.05, jnp.float32)}
+    rng = jax.random.PRNGKey(42)
+
+    out_scan = jax.jit(
+        lambda xT, key: sample_scan(model_fn, sched, xT, cond, key)
+    )(x_T, rng)
+
+    # eager replay
+    x = x_T
+    key = rng
+    n = sched.num_steps
+    for i, ts in enumerate(np.flip(np.asarray(sched.timesteps))):
+        key, sub = jax.random.split(key)
+        t = jnp.full((2,), int(ts), jnp.int32)
+        index = jnp.full((2,), n - 1 - i, jnp.int32)
+        x, _ = p_sample(model_fn, sched, x, t, index, cond, sub)
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(x), rtol=1e-5, atol=1e-5)
+
+
+def test_sampler_class_caches_schedules():
+    betas = make_beta_schedule("linear", 1000, 0.00085, 0.0120)
+    s = SpacedSampler(betas)
+    a = s.make_schedule(4, [50, 100, 150, 200])
+    b = s.make_schedule(4, [50, 100, 150, 200])
+    assert a is b
+
+
+def test_reverse_one_step_denoise():
+    """EDTR `reverse`: with the true eps as model output, x_pred == x0."""
+    ours = Diffusion.create(timesteps=1000, linear_start=0.00085, linear_end=0.0120)
+    g = np.random.default_rng(3)
+    x0 = jnp.asarray(g.standard_normal((2, 8, 8, 4)), jnp.float32)
+    noise = jnp.asarray(g.standard_normal((2, 8, 8, 4)), jnp.float32)
+    t = jnp.array([200, 200], jnp.int32)
+    out = ours.reverse(lambda xt, tt, c: noise, t, x0, cond={}, noise=noise)
+    np.testing.assert_allclose(np.asarray(out["x_pred"]), np.asarray(x0), rtol=1e-4, atol=1e-4)
+
+
+def test_extract_broadcast_shape():
+    table = jnp.arange(10.0)
+    t = jnp.array([1, 2, 3], jnp.int32)
+    out = extract(table, t, 4)
+    assert out.shape == (3, 1, 1, 1)
+    np.testing.assert_allclose(np.asarray(out).ravel(), [1.0, 2.0, 3.0])
