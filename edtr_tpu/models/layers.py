@@ -1,0 +1,164 @@
+"""Shared NN building blocks (NHWC, fp32-norm mixed precision).
+
+TPU-native re-design of the reference helpers in ``model/util.py:98-196``:
+
+* ``timestep_embedding`` — sinusoidal, [cos | sin] order (reference
+  ``model/util.py:98-118``);
+* ``GroupNorm32`` — GroupNorm always computed in fp32 then cast back, the
+  TPU mixed-precision norm rule (reference ``model/util.py:161-163``);
+* ``conv``/``dense`` factories with fp32 params and a configurable compute
+  dtype (bf16 on TPU).
+
+All spatial tensors are NHWC (TPU conv layout); the PyTorch->JAX converter
+transposes OIHW conv kernels to HWIO.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray, dim: int, max_period: int = 10000
+) -> jnp.ndarray:
+    """Sinusoidal embeddings, ``[cos | sin]`` concat order.
+
+    Parity: ``model/util.py:98-118``.
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        embedding = jnp.concatenate(
+            [embedding, jnp.zeros_like(embedding[:, :1])], axis=-1
+        )
+    return embedding
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm computed in fp32 and cast back to the input dtype.
+
+    Matches torch ``nn.GroupNorm`` semantics (consecutive-channel groups) and
+    the reference's fp32 forcing (``GroupNorm32``, ``model/util.py:161-163``).
+    ``epsilon`` is 1e-5 for UNet norms (torch default) and 1e-6 for the
+    VAE/SpatialTransformer ``Normalize`` (``model/attention.py:50-51``).
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        x = x.astype(jnp.float32)
+        g = self.num_groups
+        spatial = x.shape[1:-1]
+        xg = x.reshape(x.shape[0], -1, g, c // g)  # (B, S, G, C/G)
+        mean = xg.mean(axis=(1, 3), keepdims=True)
+        var = xg.var(axis=(1, 3), keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        x = xg.reshape((x.shape[0],) + spatial + (c,))
+        x = x * scale + bias
+        return x.astype(orig_dtype)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm in fp32 (torch nn.LayerNorm semantics, eps=1e-5)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        x = x.astype(jnp.float32)
+        mean = x.mean(axis=-1, keepdims=True)
+        var = x.var(axis=-1, keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (x * scale + bias).astype(orig_dtype)
+
+
+def conv(
+    features: int,
+    kernel_size: Union[int, Tuple[int, int]] = 3,
+    *,
+    stride: int = 1,
+    padding: Union[int, str] = 0,
+    use_bias: bool = True,
+    dtype: Optional[Dtype] = None,
+    zero: bool = False,
+    name: Optional[str] = None,
+) -> nn.Conv:
+    """NHWC conv with fp32 params; ``zero=True`` mirrors ``zero_module``."""
+    ks = (
+        (kernel_size, kernel_size)
+        if isinstance(kernel_size, int)
+        else tuple(kernel_size)
+    )
+    pad = padding
+    if isinstance(pad, int):
+        pad = [(pad, pad), (pad, pad)]
+    return nn.Conv(
+        features=features,
+        kernel_size=ks,
+        strides=(stride, stride),
+        padding=pad,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=(
+            nn.initializers.zeros if zero else nn.initializers.lecun_normal()
+        ),
+        name=name,
+    )
+
+
+def dense(
+    features: int,
+    *,
+    use_bias: bool = True,
+    dtype: Optional[Dtype] = None,
+    zero: bool = False,
+    name: Optional[str] = None,
+) -> nn.Dense:
+    return nn.Dense(
+        features=features,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=(
+            nn.initializers.zeros if zero else nn.initializers.lecun_normal()
+        ),
+        name=name,
+    )
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.silu(x)
+
+
+def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x upsample, NHWC (torch F.interpolate mode=nearest)."""
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)

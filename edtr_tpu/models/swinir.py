@@ -1,0 +1,338 @@
+"""SwinIR restoration network (NHWC, flax).
+
+TPU-native re-design of ``model/swinir.py`` (/root/reference):
+
+  WindowAttention        -> model/swinir.py:69     (relative position bias)
+  SwinTransformerBlock   -> model/swinir.py:170    (shifted windows)
+  RSTB                   -> model/swinir.py:425    (residual swin group+conv)
+  SwinIR                 -> model/swinir.py:627-894
+
+TPU-first decisions:
+* window partition/reverse are pure reshapes/transposes on NHWC — no
+  im2col-style gathers; the (B*nW, win², heads, d) batch rides the MXU via
+  ``edtr_tpu.ops.attention`` with the relative-position bias as an additive
+  logit bias;
+* the shifted-window attention mask and relative-position index are computed
+  in numpy at trace time (static shapes) and baked into the graph as
+  constants — no dynamic control flow;
+* DropPath/Dropout are inference-identity (rates are 0 at eval; training
+  stochastic depth has "no impact on SR results" per the reference comment,
+  model/swinir.py:747 — we keep them off for determinism and document it).
+
+The EDTR config ("unshuffle" mode, model/swinir.py:703-708) runs
+PixelUnshuffle(sf) before conv_first so the transformer works at 1/8
+resolution, then reconstructs with the 'nearest+conv' x8 tail — i.e.
+same-resolution restoration at 512².
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from edtr_tpu.models.layers import LayerNorm, conv, dense
+from edtr_tpu.ops.attention import dot_product_attention
+
+Dtype = Any
+
+RGB_MEAN = (0.4488, 0.4371, 0.4040)
+
+
+def pixel_unshuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """NHWC pixel-unshuffle with torch channel ordering (C, r, r)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # B, H/r, W/r, C, r, r
+    return x.reshape(b, h // r, w // r, c * r * r)
+
+
+def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """NHWC pixel-shuffle, inverse of :func:`pixel_unshuffle`."""
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # B, H, r, W, r, C
+    return x.reshape(b, h * r, w * r, c)
+
+
+def window_partition(x: jnp.ndarray, win: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B*nW, win*win, C)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // win, win, w // win, win, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, win * win, c)
+
+
+def window_reverse(windows: jnp.ndarray, win: int, h: int, w: int) -> jnp.ndarray:
+    """(B*nW, win*win, C) -> (B, H, W, C)."""
+    c = windows.shape[-1]
+    b = windows.shape[0] // ((h // win) * (w // win))
+    x = windows.reshape(b, h // win, w // win, win, win, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+@lru_cache(maxsize=32)
+def relative_position_index(win: int) -> np.ndarray:
+    """Standard Swin relative-position index, (win², win²) int32."""
+    coords = np.stack(
+        np.meshgrid(np.arange(win), np.arange(win), indexing="ij")
+    )  # (2, w, w)
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # (2, w², w²)
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += win - 1
+    rel[:, :, 1] += win - 1
+    rel[:, :, 0] *= 2 * win - 1
+    return rel.sum(-1).astype(np.int32)
+
+
+@lru_cache(maxsize=64)
+def shift_attention_mask(h: int, w: int, win: int, shift: int) -> Optional[np.ndarray]:
+    """Additive (-100/0) mask for shifted windows, (nW, win², win²) fp32.
+
+    Parity: ``calculate_mask`` in the reference SwinTransformerBlock.
+    """
+    if shift == 0:
+        return None
+    img_mask = np.zeros((1, h, w, 1), np.float32)
+    cnt = 0
+    for hs in (slice(0, -win), slice(-win, -shift), slice(-shift, None)):
+        for ws in (slice(0, -win), slice(-win, -shift), slice(-shift, None)):
+            img_mask[:, hs, ws, :] = cnt
+            cnt += 1
+    mw = img_mask.reshape(1, h // win, win, w // win, win, 1)
+    mw = mw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, win * win)
+    attn_mask = mw[:, None, :] - mw[:, :, None]
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    win: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, mask: Optional[np.ndarray] = None
+    ) -> jnp.ndarray:
+        bw, n, c = x.shape
+        d_head = self.dim // self.num_heads
+        qkv = dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(bw, n, 3, self.num_heads, d_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.normal(0.02),
+            ((2 * self.win - 1) ** 2, self.num_heads),
+            jnp.float32,
+        )
+        idx = jnp.asarray(relative_position_index(self.win).reshape(-1))
+        bias = jnp.take(table, idx, axis=0).reshape(n, n, self.num_heads)
+        bias = bias.transpose(2, 0, 1)[None]  # (1, H, n, n)
+        if mask is not None:
+            nw = mask.shape[0]
+            m = jnp.asarray(mask)[None, :, None]  # (1, nW, 1, n, n)
+            bias = bias[:, None] + m  # (1/nW broadcast, H, n, n)
+            bias = bias.reshape(-1, self.num_heads, n, n)
+            # rows repeat per batch: reshape q to (B/nW groups)
+            b_eff = bw // nw
+            bias = jnp.tile(bias, (b_eff, 1, 1, 1))
+
+        out = dot_product_attention(q, k, v, scale=d_head ** -0.5, bias=bias)
+        out = out.reshape(bw, n, c)
+        return dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        return dense(self.out, dtype=self.dtype, name="fc2")(x)
+
+
+class SwinTransformerBlock(nn.Module):
+    dim: int
+    num_heads: int
+    win: int
+    shift: int
+    mlp_ratio: float = 2.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, x_size: Tuple[int, int]) -> jnp.ndarray:
+        h, w = x_size
+        b, n, c = x.shape
+        shift = self.shift if min(h, w) > self.win else 0
+
+        shortcut = x
+        x = LayerNorm(name="norm1")(x).reshape(b, h, w, c)
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        windows = window_partition(x, self.win)
+        mask = shift_attention_mask(h, w, self.win, shift)
+        attn = WindowAttention(
+            dim=self.dim, win=self.win, num_heads=self.num_heads,
+            dtype=self.dtype, name="attn",
+        )(windows, mask)
+        x = window_reverse(attn, self.win, h, w)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        x = shortcut + x.reshape(b, n, c)
+        x = x + Mlp(
+            hidden=int(self.dim * self.mlp_ratio), out=self.dim,
+            dtype=self.dtype, name="mlp",
+        )(LayerNorm(name="norm2")(x))
+        return x
+
+
+class RSTB(nn.Module):
+    """Residual Swin Transformer Block group + trailing conv."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    win: int
+    mlp_ratio: float = 2.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, x_size: Tuple[int, int]) -> jnp.ndarray:
+        h, w = x_size
+        res = x
+        for j in range(self.depth):
+            x = SwinTransformerBlock(
+                dim=self.dim, num_heads=self.num_heads, win=self.win,
+                shift=0 if j % 2 == 0 else self.win // 2,
+                mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                name=f"blocks_{j}",
+            )(x, x_size)
+        b, n, c = x.shape
+        x = x.reshape(b, h, w, c)
+        x = conv(self.dim, 3, padding=1, dtype=self.dtype, name="conv")(x)
+        return x.reshape(b, n, c) + res
+
+
+class SwinIR(nn.Module):
+    """SwinIR; config surface matches the reference constructor."""
+
+    img_size: int = 64
+    patch_size: int = 1
+    in_chans: int = 3
+    embed_dim: int = 180
+    depths: Sequence[int] = (6, 6, 6, 6, 6, 6, 6, 6)
+    num_heads: Sequence[int] = (6, 6, 6, 6, 6, 6, 6, 6)
+    window_size: int = 8
+    mlp_ratio: float = 2.0
+    sf: int = 8
+    img_range: float = 1.0
+    upsampler: str = "nearest+conv"
+    resi_connection: str = "1conv"
+    unshuffle: bool = False
+    unshuffle_scale: Optional[int] = None
+    dtype: Optional[Dtype] = None
+    # accepted-but-unused reference knobs (parity of constructor surface)
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    ape: bool = False
+    patch_norm: bool = True
+    use_checkpoint: bool = False
+    hq_key: str = "jpg"
+    lq_key: str = "hint"
+    learning_rate: Optional[float] = None
+    weight_decay: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert self.resi_connection == "1conv", "only '1conv' is used by configs"
+        H, W = x.shape[1], x.shape[2]
+
+        # check_image_size: reflect-pad to window multiple (model/swinir.py:834-839)
+        win_mult = self.window_size * (self.unshuffle_scale if self.unshuffle else 1)
+        ph = (win_mult - H % win_mult) % win_mult
+        pw = (win_mult - W % win_mult) % win_mult
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+
+        mean = jnp.asarray(RGB_MEAN, x.dtype) if self.in_chans == 3 else 0.0
+        x = (x - mean) * self.img_range
+        x = x.astype(self.dtype or x.dtype)
+
+        # shallow feature extraction
+        if self.unshuffle:
+            feat = pixel_unshuffle(x, self.sf)
+            feat = conv(self.embed_dim, 3, padding=1, dtype=self.dtype, name="conv_first_1")(feat)
+        else:
+            feat = conv(self.embed_dim, 3, padding=1, dtype=self.dtype, name="conv_first")(x)
+
+        b, h, w, c = feat.shape
+        x_size = (h, w)
+
+        # deep features: tokens (B, L, C)
+        t = feat.reshape(b, h * w, c)
+        if self.patch_norm:
+            t = LayerNorm(name="patch_embed_norm")(t)
+        for i, depth in enumerate(self.depths):
+            t = RSTB(
+                dim=self.embed_dim, depth=depth, num_heads=self.num_heads[i],
+                win=self.window_size, mlp_ratio=self.mlp_ratio,
+                dtype=self.dtype, name=f"layers_{i}",
+            )(t, x_size)
+        t = LayerNorm(name="norm")(t)
+        deep = t.reshape(b, h, w, c)
+        deep = conv(self.embed_dim, 3, padding=1, dtype=self.dtype, name="conv_after_body")(deep)
+        feat = feat + deep
+
+        lrelu = lambda v: jax.nn.leaky_relu(v, negative_slope=0.2)
+        num_feat = 64
+        if self.upsampler == "nearest+conv":
+            feat = conv(num_feat, 3, padding=1, dtype=self.dtype, name="conv_before_upsample_0")(feat)
+            feat = jax.nn.leaky_relu(feat, negative_slope=0.01)  # nn.LeakyReLU(inplace=True) default slope
+            feat = _nearest2x(feat)
+            feat = lrelu(conv(num_feat, 3, padding=1, dtype=self.dtype, name="conv_up1")(feat))
+            if self.sf >= 4:
+                feat = _nearest2x(feat)
+                feat = lrelu(conv(num_feat, 3, padding=1, dtype=self.dtype, name="conv_up2")(feat))
+            if self.sf == 8:
+                feat = _nearest2x(feat)
+                feat = lrelu(conv(num_feat, 3, padding=1, dtype=self.dtype, name="conv_up3")(feat))
+            feat = lrelu(conv(num_feat, 3, padding=1, dtype=self.dtype, name="conv_hr")(feat))
+            out = conv(self.in_chans, 3, padding=1, dtype=self.dtype, name="conv_last")(feat)
+        elif self.upsampler == "pixelshuffle":
+            feat = conv(num_feat, 3, padding=1, dtype=self.dtype, name="conv_before_upsample_0")(feat)
+            feat = jax.nn.leaky_relu(feat, negative_slope=0.01)
+            n_up = {2: 1, 4: 2, 8: 3}[self.sf]
+            for i in range(n_up):
+                feat = conv(num_feat * 4, 3, padding=1, dtype=self.dtype, name=f"upsample_{i * 2}")(feat)
+                feat = pixel_shuffle(feat, 2)
+            out = conv(self.in_chans, 3, padding=1, dtype=self.dtype, name="conv_last")(feat)
+        else:  # denoise / CAR: residual, no upsample
+            out = conv(self.in_chans, 3, padding=1, dtype=self.dtype, name="conv_last")(feat)
+            out = x + out
+
+        out = out.astype(jnp.float32) / self.img_range + mean
+        # reference crops to H*sf regardless of unshuffle (model/swinir.py:894);
+        # in unshuffle mode the output is H-sized so this is a no-op.
+        return out[:, : H * self.sf, : W * self.sf, :]
+
+
+def _nearest2x(x: jnp.ndarray) -> jnp.ndarray:
+    from edtr_tpu.models.layers import nearest_upsample_2x
+
+    return nearest_upsample_2x(x)

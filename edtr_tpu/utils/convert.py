@@ -1,0 +1,503 @@
+"""Lossless PyTorch -> JAX checkpoint conversion.
+
+This is the correctness anchor of the framework (SURVEY.md §7 "hard parts"):
+every reference checkpoint (SD2.1 ``v2-1_512-ema-pruned.ckpt``, EDTR released
+weights, torchvision backbones) converts into edtr_tpu param pytrees with an
+explicit, per-architecture mapping.
+
+Conventions:
+* inputs are dicts of numpy arrays (load torch checkpoints with
+  ``torch.load(..., map_location="cpu")`` then ``.numpy()`` — see
+  :func:`torch_state_dict_to_numpy`);
+* conv kernels transpose OIHW -> HWIO, linear kernels transpose (out,in) ->
+  (in,out); norm ``weight``/``bias`` become ``scale``/``bias``;
+* the SD-checkpoint module remapping (``model.diffusion_model`` -> unet,
+  ``first_stage_model`` -> vae, ``cond_stage_model`` -> clip) reproduces
+  ``ControlLDM.load_pretrained_sd`` (``model/cldm.py:47-77``);
+* ``controlnet_from_unet`` reproduces the zero-pad weight surgery of
+  ``ControlLDM.load_controlnet_from_unet`` (``model/cldm.py:84-105``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+def torch_state_dict_to_numpy(sd) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        try:
+            out[k] = v.detach().cpu().float().numpy()
+        except AttributeError:
+            out[k] = np.asarray(v)
+    return out
+
+
+# -- leaf converters ---------------------------------------------------------
+
+def conv(sd: Dict[str, np.ndarray], key: str) -> Params:
+    p = {"kernel": np.transpose(sd[f"{key}.weight"], (2, 3, 1, 0))}
+    if f"{key}.bias" in sd:
+        p["bias"] = sd[f"{key}.bias"]
+    return p
+
+
+def linear(sd: Dict[str, np.ndarray], key: str) -> Params:
+    p = {"kernel": np.transpose(sd[f"{key}.weight"], (1, 0))}
+    if f"{key}.bias" in sd:
+        p["bias"] = sd[f"{key}.bias"]
+    return p
+
+
+def norm(sd: Dict[str, np.ndarray], key: str) -> Params:
+    return {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+
+# -- LDM UNet / ControlNet ---------------------------------------------------
+
+def _resblock(sd, p: str, has_skip: bool) -> Params:
+    out = {
+        "in_norm": norm(sd, f"{p}.in_layers.0"),
+        "in_conv": conv(sd, f"{p}.in_layers.2"),
+        "emb_proj": linear(sd, f"{p}.emb_layers.1"),
+        "out_norm": norm(sd, f"{p}.out_layers.0"),
+        "out_conv": conv(sd, f"{p}.out_layers.3"),
+    }
+    if has_skip:
+        out["skip"] = conv(sd, f"{p}.skip_connection")
+    return out
+
+
+def _cross_attention(sd, p: str) -> Params:
+    return {
+        "to_q": linear(sd, f"{p}.to_q"),
+        "to_k": linear(sd, f"{p}.to_k"),
+        "to_v": linear(sd, f"{p}.to_v"),
+        "to_out": linear(sd, f"{p}.to_out.0"),
+    }
+
+
+def _transformer_block(sd, p: str) -> Params:
+    return {
+        "norm1": norm(sd, f"{p}.norm1"),
+        "norm2": norm(sd, f"{p}.norm2"),
+        "norm3": norm(sd, f"{p}.norm3"),
+        "attn1": _cross_attention(sd, f"{p}.attn1"),
+        "attn2": _cross_attention(sd, f"{p}.attn2"),
+        "ff": {
+            "proj": linear(sd, f"{p}.ff.net.0.proj"),
+            "out": linear(sd, f"{p}.ff.net.2"),
+        },
+    }
+
+
+def _spatial_transformer(sd, p: str, depth: int, use_linear: bool) -> Params:
+    proj = linear if use_linear else conv
+    out = {
+        "norm": norm(sd, f"{p}.norm"),
+        "proj_in": proj(sd, f"{p}.proj_in"),
+        "proj_out": proj(sd, f"{p}.proj_out"),
+    }
+    for d in range(depth):
+        out[f"blocks_{d}"] = _transformer_block(sd, f"{p}.transformer_blocks.{d}")
+    return out
+
+
+def convert_ldm_unet(
+    sd: Dict[str, np.ndarray],
+    prefix: str = "",
+    model_channels: int = 320,
+    num_res_blocks: int = 2,
+    channel_mult: Sequence[int] = (1, 2, 4, 4),
+    attention_resolutions: Sequence[int] = (4, 2, 1),
+    transformer_depth: int = 1,
+    use_linear_in_transformer: bool = True,
+) -> Params:
+    """Convert a (prefixed) LDM UNet torch state dict to edtr_tpu params.
+
+    Walks the same construction loop as ``model/unet.py:473-607`` so block
+    indices line up exactly.
+    """
+    pfx = f"{prefix}." if prefix else ""
+    P: Params = {
+        "time_embed_0": linear(sd, f"{pfx}time_embed.0"),
+        "time_embed_2": linear(sd, f"{pfx}time_embed.2"),
+        "input_blocks_0_0": conv(sd, f"{pfx}input_blocks.0.0"),
+        "out_norm": norm(sd, f"{pfx}out.0"),
+        "out_conv": conv(sd, f"{pfx}out.2"),
+    }
+    blk = 1
+    ch = model_channels
+    ds = 1
+    for level, mult in enumerate(channel_mult):
+        for _ in range(num_res_blocks):
+            out_ch = mult * model_channels
+            P[f"input_blocks_{blk}_0"] = _resblock(
+                sd, f"{pfx}input_blocks.{blk}.0", has_skip=(ch != out_ch)
+            )
+            ch = out_ch
+            if ds in attention_resolutions:
+                P[f"input_blocks_{blk}_1"] = _spatial_transformer(
+                    sd, f"{pfx}input_blocks.{blk}.1",
+                    transformer_depth, use_linear_in_transformer,
+                )
+            blk += 1
+        if level != len(channel_mult) - 1:
+            P[f"input_blocks_{blk}_0"] = {"op": conv(sd, f"{pfx}input_blocks.{blk}.0.op")}
+            blk += 1
+            ds *= 2
+
+    P["middle_block_0"] = _resblock(sd, f"{pfx}middle_block.0", has_skip=False)
+    P["middle_block_1"] = _spatial_transformer(
+        sd, f"{pfx}middle_block.1", transformer_depth, use_linear_in_transformer
+    )
+    P["middle_block_2"] = _resblock(sd, f"{pfx}middle_block.2", has_skip=False)
+
+    # decoder
+    input_block_chans = [model_channels]
+    ch = model_channels
+    for level, mult in enumerate(channel_mult):
+        for _ in range(num_res_blocks):
+            ch = mult * model_channels
+            input_block_chans.append(ch)
+        if level != len(channel_mult) - 1:
+            input_block_chans.append(ch)
+
+    blk = 0
+    for level, mult in list(enumerate(channel_mult))[::-1]:
+        for i in range(num_res_blocks + 1):
+            ich = input_block_chans.pop()
+            out_ch = mult * model_channels
+            P[f"output_blocks_{blk}_0"] = _resblock(
+                sd, f"{pfx}output_blocks.{blk}.0", has_skip=(ch + ich != out_ch)
+            )
+            ch = out_ch
+            sub = 1
+            if (2 ** level) in attention_resolutions:
+                P[f"output_blocks_{blk}_{sub}"] = _spatial_transformer(
+                    sd, f"{pfx}output_blocks.{blk}.{sub}",
+                    transformer_depth, use_linear_in_transformer,
+                )
+                sub += 1
+            if level != 0 and i == num_res_blocks:
+                P[f"output_blocks_{blk}_{sub}"] = {
+                    "conv": conv(sd, f"{pfx}output_blocks.{blk}.{sub}.conv")
+                }
+            blk += 1
+    return P
+
+
+def convert_controlnet(
+    sd: Dict[str, np.ndarray],
+    prefix: str = "",
+    model_channels: int = 320,
+    num_res_blocks: int = 2,
+    channel_mult: Sequence[int] = (1, 2, 4, 4),
+    attention_resolutions: Sequence[int] = (4, 2, 1),
+    transformer_depth: int = 1,
+    use_linear_in_transformer: bool = True,
+) -> Params:
+    """Convert a ControlNet torch state dict (``model/controlnet.py:44-258``)."""
+    pfx = f"{prefix}." if prefix else ""
+    P: Params = {
+        "time_embed_0": linear(sd, f"{pfx}time_embed.0"),
+        "time_embed_2": linear(sd, f"{pfx}time_embed.2"),
+        "input_blocks_0_0": conv(sd, f"{pfx}input_blocks.0.0"),
+        "zero_convs_0": conv(sd, f"{pfx}zero_convs.0.0"),
+        "middle_block_out": conv(sd, f"{pfx}middle_block_out.0"),
+    }
+    blk = 1
+    ch = model_channels
+    ds = 1
+    for level, mult in enumerate(channel_mult):
+        for _ in range(num_res_blocks):
+            out_ch = mult * model_channels
+            P[f"input_blocks_{blk}_0"] = _resblock(
+                sd, f"{pfx}input_blocks.{blk}.0", has_skip=(ch != out_ch)
+            )
+            ch = out_ch
+            if ds in attention_resolutions:
+                P[f"input_blocks_{blk}_1"] = _spatial_transformer(
+                    sd, f"{pfx}input_blocks.{blk}.1",
+                    transformer_depth, use_linear_in_transformer,
+                )
+            P[f"zero_convs_{blk}"] = conv(sd, f"{pfx}zero_convs.{blk}.0")
+            blk += 1
+        if level != len(channel_mult) - 1:
+            P[f"input_blocks_{blk}_0"] = {"op": conv(sd, f"{pfx}input_blocks.{blk}.0.op")}
+            P[f"zero_convs_{blk}"] = conv(sd, f"{pfx}zero_convs.{blk}.0")
+            blk += 1
+            ds *= 2
+
+    P["middle_block_0"] = _resblock(sd, f"{pfx}middle_block.0", has_skip=False)
+    P["middle_block_1"] = _spatial_transformer(
+        sd, f"{pfx}middle_block.1", transformer_depth, use_linear_in_transformer
+    )
+    P["middle_block_2"] = _resblock(sd, f"{pfx}middle_block.2", has_skip=False)
+    return P
+
+
+def controlnet_from_unet(unet_params: Params, hint_channels: int = 4) -> Params:
+    """Initialize ControlNet params from converted UNet params.
+
+    Reproduces ``ControlLDM.load_controlnet_from_unet`` (``model/cldm.py:84-105``):
+    copy every encoder/middle tensor, zero-pad the first conv kernel along
+    input channels for the hint, zero-init all zero_convs/middle_block_out.
+    """
+    import jax
+
+    P: Params = {}
+    for name, sub in unet_params.items():
+        if name.startswith(("input_blocks", "middle_block", "time_embed")):
+            P[name] = jax.tree.map(np.array, sub)
+    k = np.asarray(P["input_blocks_0_0"]["kernel"])  # (3,3,in,mc)
+    pad = np.zeros(k.shape[:2] + (hint_channels, k.shape[3]), dtype=k.dtype)
+    P["input_blocks_0_0"] = dict(P["input_blocks_0_0"])
+    P["input_blocks_0_0"]["kernel"] = np.concatenate([k, pad], axis=2)
+
+    mc = k.shape[3]
+    # zero convs: one per encoder block; channel sizes follow the block chans
+    # walk: [mc] + per-level res outs + downsample outs
+    # (sizes inferred from the copied blocks to stay config-agnostic)
+    idx = 0
+    P[f"zero_convs_{idx}"] = _zero_conv_params(mc)
+    blk = 1
+    while f"input_blocks_{blk}_0" in P:
+        sub = P[f"input_blocks_{blk}_0"]
+        if "op" in sub:  # downsample
+            ch = np.asarray(sub["op"]["kernel"]).shape[3]
+        else:
+            ch = np.asarray(sub["out_conv"]["kernel"]).shape[3]
+        P[f"zero_convs_{blk}"] = _zero_conv_params(ch)
+        blk += 1
+    mid_ch = np.asarray(P["middle_block_2"]["out_conv"]["kernel"]).shape[3]
+    P["middle_block_out"] = _zero_conv_params(mid_ch)
+    return P
+
+
+def _zero_conv_params(ch: int) -> Params:
+    return {
+        "kernel": np.zeros((1, 1, ch, ch), dtype=np.float32),
+        "bias": np.zeros((ch,), dtype=np.float32),
+    }
+
+
+# -- KL-VAE --------------------------------------------------------------------
+
+def _vae_resblock(sd, p: str, has_skip: bool) -> Params:
+    out = {
+        "norm1": norm(sd, f"{p}.norm1"),
+        "conv1": conv(sd, f"{p}.conv1"),
+        "norm2": norm(sd, f"{p}.norm2"),
+        "conv2": conv(sd, f"{p}.conv2"),
+    }
+    if has_skip:
+        out["nin_shortcut"] = conv(sd, f"{p}.nin_shortcut")
+    return out
+
+
+def _vae_attn(sd, p: str) -> Params:
+    return {
+        "norm": norm(sd, f"{p}.norm"),
+        "q": conv(sd, f"{p}.q"),
+        "k": conv(sd, f"{p}.k"),
+        "v": conv(sd, f"{p}.v"),
+        "proj_out": conv(sd, f"{p}.proj_out"),
+    }
+
+
+def convert_vae_encoder(
+    sd, prefix: str = "encoder",
+    ch: int = 128, ch_mult: Sequence[int] = (1, 2, 4, 4), num_res_blocks: int = 2,
+) -> Params:
+    """Parity: ``Encoder`` (``model/vae.py:326-446``)."""
+    p = prefix
+    P: Params = {
+        "conv_in": conv(sd, f"{p}.conv_in"),
+        "mid_block_1": _vae_resblock(sd, f"{p}.mid.block_1", False),
+        "mid_attn_1": _vae_attn(sd, f"{p}.mid.attn_1"),
+        "mid_block_2": _vae_resblock(sd, f"{p}.mid.block_2", False),
+        "norm_out": norm(sd, f"{p}.norm_out"),
+        "conv_out": conv(sd, f"{p}.conv_out"),
+    }
+    in_mult = (1,) + tuple(ch_mult)
+    for i_level, mult in enumerate(ch_mult):
+        block_in = ch * in_mult[i_level]
+        block_out = ch * mult
+        for i_block in range(num_res_blocks):
+            P[f"down_{i_level}_block_{i_block}"] = _vae_resblock(
+                sd, f"{p}.down.{i_level}.block.{i_block}", has_skip=(block_in != block_out)
+            )
+            block_in = block_out
+        if i_level != len(ch_mult) - 1:
+            P[f"down_{i_level}_downsample"] = {
+                "conv": conv(sd, f"{p}.down.{i_level}.downsample.conv")
+            }
+    return P
+
+
+def convert_vae_decoder(
+    sd, prefix: str = "decoder",
+    ch: int = 128, ch_mult: Sequence[int] = (1, 2, 4, 4), num_res_blocks: int = 2,
+) -> Params:
+    """Parity: ``Decoder`` (``model/vae.py:449-560``)."""
+    p = prefix
+    P: Params = {
+        "conv_in": conv(sd, f"{p}.conv_in"),
+        "mid_block_1": _vae_resblock(sd, f"{p}.mid.block_1", False),
+        "mid_attn_1": _vae_attn(sd, f"{p}.mid.attn_1"),
+        "mid_block_2": _vae_resblock(sd, f"{p}.mid.block_2", False),
+        "norm_out": norm(sd, f"{p}.norm_out"),
+        "conv_out": conv(sd, f"{p}.conv_out"),
+    }
+    block_in = ch * ch_mult[-1]
+    for i_level in reversed(range(len(ch_mult))):
+        block_out = ch * ch_mult[i_level]
+        for i_block in range(num_res_blocks + 1):
+            P[f"up_{i_level}_block_{i_block}"] = _vae_resblock(
+                sd, f"{p}.up.{i_level}.block.{i_block}", has_skip=(block_in != block_out)
+            )
+            block_in = block_out
+        if i_level != 0:
+            P[f"up_{i_level}_upsample"] = {
+                "conv": conv(sd, f"{p}.up.{i_level}.upsample.conv")
+            }
+    return P
+
+
+def convert_autoencoder_kl(
+    sd, ch: int = 128, ch_mult: Sequence[int] = (1, 2, 4, 4), num_res_blocks: int = 2,
+) -> Params:
+    """Convert a full ``AutoencoderKL`` state dict (``model/vae.py:681-743``)."""
+    return {
+        "encoder": convert_vae_encoder(sd, "encoder", ch, ch_mult, num_res_blocks),
+        "decoder": convert_vae_decoder(sd, "decoder", ch, ch_mult, num_res_blocks),
+        "quant_conv": conv(sd, "quant_conv"),
+        "post_quant_conv": conv(sd, "post_quant_conv"),
+    }
+
+
+# -- SwinIR ----------------------------------------------------------------------
+
+def convert_swinir(
+    sd,
+    depths: Sequence[int] = (6, 6, 6, 6, 6, 6, 6, 6),
+    unshuffle: bool = True,
+    upsampler: str = "nearest+conv",
+    sf: int = 8,
+    patch_norm: bool = True,
+) -> Params:
+    """Convert a SwinIR state dict (``model/swinir.py:627-894``)."""
+    P: Params = {
+        "norm": norm(sd, "norm"),
+        "conv_after_body": conv(sd, "conv_after_body"),
+        "conv_last": conv(sd, "conv_last"),
+    }
+    if unshuffle:
+        P["conv_first_1"] = conv(sd, "conv_first.1")
+    else:
+        P["conv_first"] = conv(sd, "conv_first")
+    if patch_norm:
+        P["patch_embed_norm"] = norm(sd, "patch_embed.norm")
+    for i, depth in enumerate(depths):
+        L: Params = {"conv": conv(sd, f"layers.{i}.conv")}
+        for j in range(depth):
+            bp = f"layers.{i}.residual_group.blocks.{j}"
+            L[f"blocks_{j}"] = {
+                "norm1": norm(sd, f"{bp}.norm1"),
+                "norm2": norm(sd, f"{bp}.norm2"),
+                "attn": {
+                    "qkv": linear(sd, f"{bp}.attn.qkv"),
+                    "proj": linear(sd, f"{bp}.attn.proj"),
+                    "relative_position_bias_table": sd[
+                        f"{bp}.attn.relative_position_bias_table"
+                    ],
+                },
+                "mlp": {
+                    "fc1": linear(sd, f"{bp}.mlp.fc1"),
+                    "fc2": linear(sd, f"{bp}.mlp.fc2"),
+                },
+            }
+        P[f"layers_{i}"] = L
+    if upsampler == "nearest+conv":
+        P["conv_before_upsample_0"] = conv(sd, "conv_before_upsample.0")
+        P["conv_up1"] = conv(sd, "conv_up1")
+        if sf >= 4:
+            P["conv_up2"] = conv(sd, "conv_up2")
+        if sf == 8:
+            P["conv_up3"] = conv(sd, "conv_up3")
+        P["conv_hr"] = conv(sd, "conv_hr")
+    elif upsampler == "pixelshuffle":
+        P["conv_before_upsample_0"] = conv(sd, "conv_before_upsample.0")
+        n_up = {2: 1, 4: 2, 8: 3}[sf]
+        for i in range(n_up):
+            P[f"upsample_{i * 2}"] = conv(sd, f"upsample.{i * 2}")
+    return P
+
+
+# -- OpenCLIP text tower -------------------------------------------------------
+
+def convert_clip_text(sd, prefix: str = "model", layers: int = 24) -> Params:
+    """Convert the OpenCLIP text transformer (``cond_stage_model.model.*``).
+
+    The fused torch ``in_proj_weight`` (3W, W) splits into q/k/v kernels.
+    Parity: ``model/open_clip/transformer.py:199-254`` + ``model/clip.py``.
+    """
+    pfx = f"{prefix}." if prefix else ""
+    P: Params = {
+        "token_embedding": sd[f"{pfx}token_embedding.weight"],
+        "positional_embedding": sd[f"{pfx}positional_embedding"],
+        "ln_final": norm(sd, f"{pfx}ln_final"),
+    }
+    for i in range(layers):
+        rp = f"{pfx}transformer.resblocks.{i}"
+        if f"{rp}.ln_1.weight" not in sd:
+            break
+        w = sd[f"{rp}.attn.in_proj_weight"]
+        b = sd[f"{rp}.attn.in_proj_bias"]
+        width = w.shape[1]
+        qw, kw, vw = w[:width], w[width : 2 * width], w[2 * width :]
+        qb, kb, vb = b[:width], b[width : 2 * width], b[2 * width :]
+        P[f"resblocks_{i}"] = {
+            "ln_1": norm(sd, f"{rp}.ln_1"),
+            "q_proj": {"kernel": qw.T, "bias": qb},
+            "k_proj": {"kernel": kw.T, "bias": kb},
+            "v_proj": {"kernel": vw.T, "bias": vb},
+            "out_proj": linear(sd, f"{rp}.attn.out_proj"),
+            "ln_2": norm(sd, f"{rp}.ln_2"),
+            "c_fc": linear(sd, f"{rp}.mlp.c_fc"),
+            "c_proj": linear(sd, f"{rp}.mlp.c_proj"),
+        }
+    return P
+
+
+# -- SD checkpoint module split ----------------------------------------------
+
+SD_MODULE_MAP = {
+    "unet": "model.diffusion_model",
+    "vae": "first_stage_model",
+    "clip": "cond_stage_model",
+}
+
+
+def split_sd_checkpoint(
+    sd: Dict[str, np.ndarray], is_turbo: bool = False
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Split a full SD2.1 checkpoint into unet/vae/clip sub-dicts.
+
+    Parity: ``ControlLDM.load_pretrained_sd`` key remap (``model/cldm.py:48-66``).
+    """
+    module_map = dict(SD_MODULE_MAP)
+    if is_turbo:
+        module_map["clip"] = "conditioner.embedders.0"
+    out: Dict[str, Dict[str, np.ndarray]] = {k: {} for k in module_map}
+    for key, value in sd.items():
+        for name, pfx in module_map.items():
+            if key.startswith(pfx + "."):
+                out[name][key[len(pfx) + 1:]] = value
+                break
+    return out

@@ -1,0 +1,115 @@
+"""Image-space utilities: wavelet color fix, padding, PSNR.
+
+Parity: ``utils/common.py`` (/root/reference):
+  wavelet_blur/decomposition/reconstruction -> utils/common.py:99-147
+  pad_if_smaller / pad_to_multiples_of      -> utils/common.py:330-349
+  calculate_psnr_pt                          -> utils/common.py:220-249
+
+All functions are pure jnp over NHWC tensors and jit-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_WAVELET_KERNEL = jnp.array(
+    [
+        [0.0625, 0.125, 0.0625],
+        [0.125, 0.25, 0.125],
+        [0.0625, 0.125, 0.0625],
+    ],
+    dtype=jnp.float32,
+)
+
+
+def wavelet_blur(image: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Depthwise 3x3 box-gauss blur with dilation=radius, replicate pad.
+
+    Parity: ``utils/common.py:99-118``. NHWC; channel count inferred.
+    """
+    c = image.shape[-1]
+    kernel = _WAVELET_KERNEL.astype(image.dtype)
+    # depthwise: HWIO with feature_group_count=C, I/groups=1
+    kernel = jnp.tile(kernel[:, :, None, None], (1, 1, 1, c))
+    padded = jnp.pad(
+        image, ((0, 0), (radius, radius), (radius, radius), (0, 0)), mode="edge"
+    )
+    return jax.lax.conv_general_dilated(
+        padded,
+        kernel,
+        window_strides=(1, 1),
+        padding="VALID",
+        rhs_dilation=(radius, radius),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def wavelet_decomposition(
+    image: jnp.ndarray, levels: int = 5
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (high_freq, low_freq); parity ``utils/common.py:121-133``."""
+    high_freq = jnp.zeros_like(image)
+    for i in range(levels):
+        radius = 2 ** i
+        low_freq = wavelet_blur(image, radius)
+        high_freq = high_freq + (image - low_freq)
+        image = low_freq
+    return high_freq, low_freq
+
+
+def wavelet_reconstruction(
+    content_feat: jnp.ndarray, style_feat: jnp.ndarray
+) -> jnp.ndarray:
+    """content high-freq + style low-freq; parity ``utils/common.py:136-147``."""
+    content_high_freq, _ = wavelet_decomposition(content_feat)
+    _, style_low_freq = wavelet_decomposition(style_feat)
+    return content_high_freq + style_low_freq
+
+
+def pad_if_smaller(imgs: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Zero-pad bottom/right so H,W >= size (``utils/common.py:330-338``)."""
+    _, h, w, _ = imgs.shape
+    ph, pw = max(0, size - h), max(0, size - w)
+    if ph == 0 and pw == 0:
+        return imgs
+    return jnp.pad(imgs, ((0, 0), (0, ph), (0, pw), (0, 0)))
+
+
+def pad_to_multiples_of(imgs: jnp.ndarray, multiple: int) -> jnp.ndarray:
+    """Zero-pad bottom/right to a multiple (``utils/common.py:343-349``)."""
+    _, h, w, _ = imgs.shape
+    ph = (h + multiple - 1) // multiple * multiple - h
+    pw = (w + multiple - 1) // multiple * multiple - w
+    if ph == 0 and pw == 0:
+        return imgs
+    return jnp.pad(imgs, ((0, 0), (0, ph), (0, pw), (0, 0)))
+
+
+def calculate_psnr(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    crop_border: int = 0,
+    test_y_channel: bool = False,
+) -> jnp.ndarray:
+    """PSNR over [0,1] NHWC batches; parity ``utils/common.py:220-249``."""
+    if crop_border:
+        img1 = img1[:, crop_border:-crop_border, crop_border:-crop_border, :]
+        img2 = img2[:, crop_border:-crop_border, crop_border:-crop_border, :]
+    if test_y_channel:
+        img1 = rgb2ycbcr_y(img1)
+        img2 = rgb2ycbcr_y(img2)
+    img1 = img1.astype(jnp.float64) if img1.dtype == jnp.float64 else img1.astype(jnp.float32)
+    img2 = img2.astype(img1.dtype)
+    mse = jnp.mean((img1 - img2) ** 2, axis=(1, 2, 3))
+    return 10.0 * jnp.log10(1.0 / (mse + 1e-12))
+
+
+def rgb2ycbcr_y(img: jnp.ndarray) -> jnp.ndarray:
+    """BT.601 luma of [0,1] RGB (``utils/common.py:168-217`` y-only path)."""
+    w = jnp.array([65.481, 128.553, 24.966], dtype=img.dtype) / 255.0
+    y = img @ w + (16.0 / 255.0)
+    return y[..., None]

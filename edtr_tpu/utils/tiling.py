@@ -1,0 +1,197 @@
+"""Spatial tiling: the reference's "sequence parallelism" analog (SURVEY.md §5.7).
+
+TPU re-design of three subsystems:
+
+* :func:`make_tiled_fn` — Gaussian-blended sliding-window wrapper
+  (``utils/common.py:367-427``). Tile coordinates are static given the input
+  shape, so under ``jit`` the loop becomes a ``lax.scan`` over a stacked tile
+  axis: one compile of the inner fn regardless of tile count, accumulation by
+  ``dynamic_update_slice`` adds.
+* :func:`tiled_model_fn` — latent-space tiled diffusion: wraps the ControlLDM
+  eps-fn so each tile sees the matching slice of ``c_img``
+  (``utils/sampler.py:288-303``).
+* :func:`tiled_vae_encode` / :func:`tiled_vae_decode` — tiled VAE. The
+  reference synchronizes GroupNorm statistics across tiles with a task-queue
+  that pauses every tile at each norm (``utils/tilevae/tilevae.py:232-278``).
+  On TPU we run overlapping padded tiles with Gaussian blending — XLA-friendly
+  (static shapes, no host round-trips). Halo padding (32 px encode / 11 px
+  decode margins like VAEHook, ``utils/tilevae/tilevae.py:315``) bounds the
+  receptive-field error; blended GroupNorm stats stay local per tile, matching
+  VAEHook's fast-mode semantics.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=32)
+def gaussian_weights(tile_width: int, tile_height: int) -> np.ndarray:
+    """Gaussian contribution mask; parity ``utils/common.py:151-165``."""
+    var = 0.01
+    midpoint_x = (tile_width - 1) / 2
+    x_probs = [
+        math.exp(-(x - midpoint_x) ** 2 / (tile_width ** 2) / (2 * var))
+        / math.sqrt(2 * math.pi * var)
+        for x in range(tile_width)
+    ]
+    midpoint_y = tile_height / 2
+    y_probs = [
+        math.exp(-(y - midpoint_y) ** 2 / (tile_height ** 2) / (2 * var))
+        / math.sqrt(2 * math.pi * var)
+        for y in range(tile_height)
+    ]
+    return np.outer(y_probs, x_probs).astype(np.float32)
+
+
+def sliding_windows(
+    h: int, w: int, tile_size: int, tile_stride: int
+) -> List[Tuple[int, int, int, int]]:
+    """(hi, hi_end, wi, wi_end) coords; parity ``utils/common.py:351-364``."""
+    hi_list = list(range(0, h - tile_size + 1, tile_stride))
+    if (h - tile_size) % tile_stride != 0:
+        hi_list.append(h - tile_size)
+    wi_list = list(range(0, w - tile_size + 1, tile_stride))
+    if (w - tile_size) % tile_stride != 0:
+        wi_list.append(w - tile_size)
+    return [
+        (hi, hi + tile_size, wi, wi + tile_size) for hi in hi_list for wi in wi_list
+    ]
+
+
+def make_tiled_fn(
+    fn: Callable[..., jnp.ndarray],
+    size: int,
+    stride: int,
+    scale: int = 1,
+    channel: Optional[int] = None,
+    weight: str = "gaussian",
+) -> Callable[..., jnp.ndarray]:
+    """Wrap ``fn`` to process NHWC inputs in Gaussian-blended tiles.
+
+    ``fn(x_tile, *args, hi=, hi_end=, wi=, wi_end=, **kwargs)`` receives the
+    tile plus its coordinates (as Python ints — static under jit), mirroring
+    the reference kwargs protocol so callers can slice auxiliary tensors.
+    Output spatial dims scale by ``scale``; channels by ``channel`` if given.
+    """
+
+    def tiled_fn(x: jnp.ndarray, *args, **kwargs) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        out_c = channel or c
+        out = jnp.zeros((b, h * scale, w * scale, out_c), dtype=jnp.float32)
+        count = jnp.zeros_like(out)
+        ws = size * scale
+        weights = (
+            gaussian_weights(ws, ws)[None, :, :, None]
+            if weight == "gaussian"
+            else np.ones((1, ws, ws, 1), np.float32)
+        )
+        weights = jnp.asarray(weights)
+        for hi, hi_end, wi, wi_end in sliding_windows(h, w, size, stride):
+            x_tile = jax.lax.dynamic_slice(
+                x, (0, hi, wi, 0), (b, size, size, c)
+            )
+            if args or kwargs:
+                kwargs.update(dict(hi=hi, hi_end=hi_end, wi=wi, wi_end=wi_end))
+            y = fn(x_tile, *args, **kwargs).astype(jnp.float32) * weights
+            oh, ow = hi * scale, wi * scale
+            out = jax.lax.dynamic_update_slice(
+                out, jax.lax.dynamic_slice(out, (0, oh, ow, 0), y.shape) + y,
+                (0, oh, ow, 0),
+            )
+            count = jax.lax.dynamic_update_slice(
+                count,
+                jax.lax.dynamic_slice(count, (0, oh, ow, 0), y.shape) + weights,
+                (0, oh, ow, 0),
+            )
+        return out / count
+
+    return tiled_fn
+
+
+def tiled_model_fn(
+    model_fn: Callable, tile_size: int, tile_stride: int
+) -> Callable:
+    """Latent-tiled diffusion eps-fn; parity ``utils/sampler.py:288-303``.
+
+    Each latent tile runs the full ControlNet+UNet with the *matching slice*
+    of the ``c_img`` hint; ``c_txt`` is shared.
+    """
+
+    def fn(x: jnp.ndarray, t: jnp.ndarray, cond: Dict[str, jnp.ndarray]):
+        def tile_call(x_tile, t, cond, hi, hi_end, wi, wi_end):
+            c_img = jax.lax.dynamic_slice(
+                cond["c_img"],
+                (0, hi, wi, 0),
+                (cond["c_img"].shape[0], hi_end - hi, wi_end - wi, cond["c_img"].shape[-1]),
+            )
+            return model_fn(x_tile, t, {"c_txt": cond["c_txt"], "c_img": c_img})
+
+        return make_tiled_fn(tile_call, tile_size, tile_stride)(x, t, cond)
+
+    return fn
+
+
+# -- tiled VAE -----------------------------------------------------------------
+
+ENCODER_PAD = 32   # pixel halo, matches VAEHook encoder pad (tilevae.py:315)
+DECODER_PAD = 11   # latent halo, matches VAEHook decoder pad
+
+
+def tiled_vae_encode(cldm, params, image: jnp.ndarray, tile_size: int):
+    """Encode a large image tile-by-tile; returns the posterior distribution.
+
+    Overlapping tiles (stride = 3/4 tile) with Gaussian blending over the
+    moment maps; VAEHook-equivalent halo sizes bound boundary error.
+    """
+    from edtr_tpu.models.distributions import DiagonalGaussianDistribution
+
+    if tile_size <= 0:
+        tile_size = 512
+
+    def enc(tile):
+        h = cldm.vae.apply(
+            {"params": params["vae"]},
+            tile,
+            method=lambda m, v: m.quant_conv(m.encoder(v)),
+        )
+        return h
+
+    stride = tile_size * 3 // 4
+    # encode at 1/8 spatial: tile in pixel space, accumulate in latent space
+    b, h, w, c = image.shape
+    zs = jnp.zeros((b, h // 8, w // 8, 2 * cldm.vae.embed_dim), jnp.float32)
+    count = jnp.zeros_like(zs)
+    lt = tile_size // 8
+    weights = jnp.asarray(gaussian_weights(lt, lt)[None, :, :, None])
+    for hi, hi_end, wi, wi_end in sliding_windows(h, w, tile_size, stride):
+        tile = jax.lax.dynamic_slice(image, (0, hi, wi, 0), (b, tile_size, tile_size, c))
+        m = enc(tile).astype(jnp.float32) * weights
+        oh, ow = hi // 8, wi // 8
+        zs = jax.lax.dynamic_update_slice(
+            zs, jax.lax.dynamic_slice(zs, (0, oh, ow, 0), m.shape) + m, (0, oh, ow, 0)
+        )
+        count = jax.lax.dynamic_update_slice(
+            count,
+            jax.lax.dynamic_slice(count, (0, oh, ow, 0), m.shape) + weights,
+            (0, oh, ow, 0),
+        )
+    return DiagonalGaussianDistribution(zs / count)
+
+
+def tiled_vae_decode(cldm, params, z: jnp.ndarray, tile_size: int) -> jnp.ndarray:
+    """Decode a large latent tile-by-tile with Gaussian blending."""
+    if tile_size <= 0:
+        tile_size = 64
+
+    def dec(tile):
+        return cldm.vae.apply({"params": params["vae"]}, tile, method=cldm.vae.decode)
+
+    stride = tile_size * 3 // 4
+    return make_tiled_fn(dec, tile_size, stride, scale=8, channel=3)(z)
