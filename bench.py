@@ -1,0 +1,75 @@
+"""Benchmark: EDTR-s4 512x512 restoration throughput on one TPU chip.
+
+Measures the flagship end-to-end restore graph (SwinIR pre-restoration +
+ControlNet+UNet 4-step spaced denoise as one lax.scan + VAE decode + wavelet
+color fix) at SD2.1 scale, bf16 compute, and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md).
+``A6000_BASELINE_IMG_S`` is a documented engineering estimate of the PyTorch
+reference at bs=1 fp16 on an A6000 (4 x (UNet ~70ms + ControlNet ~35ms)
++ VAE decode ~90ms + SwinIR ~110ms ~= 620ms/img -> ~1.6 img/s);
+``vs_baseline`` is measured_throughput / that estimate. The north-star is
+>=3x (BASELINE.json).
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("EDTR_ENTRY_SIZE", "full")
+
+A6000_BASELINE_IMG_S = 1.6
+BATCH = int(os.environ.get("EDTR_BENCH_BATCH", "4"))
+ITERS = int(os.environ.get("EDTR_BENCH_ITERS", "10"))
+
+
+def main() -> None:
+    from edtr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as G
+
+    tiny = jax.default_backend() == "cpu"
+    image_size = 64 if tiny else 512
+    pipe = G._flagship_pipeline(dtype=jnp.bfloat16, tiny=tiny)
+    params = G._init_params(pipe, jax.random.PRNGKey(0), image_size)
+    c_txt = jnp.zeros(
+        (BATCH, pipe.cldm.clip.context_length, pipe.cldm.clip.width), jnp.float32
+    )
+
+    fn = jax.jit(
+        lambda p, lq, rng: pipe.restore(p, lq, rng, c_txt=c_txt)["restored"]
+    )
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, image_size, image_size, 3))
+    rng = jax.random.PRNGKey(231)
+
+    out = fn(params, lq, rng)
+    out.block_until_ready()  # compile + warm
+
+    t0 = time.time()
+    for i in range(ITERS):
+        out = fn(params, jnp.clip(out, 0, 1), jax.random.fold_in(rng, i))
+    out.block_until_ready()
+    dt = (time.time() - t0) / ITERS
+
+    img_s = BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"EDTR-s4 {image_size}x{image_size} restore (SwinIR + 4-step ControlNet/UNet scan + VAE decode + wavelet), bs={BATCH}, bf16",
+                "value": round(img_s, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_s / A6000_BASELINE_IMG_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,682 @@
+"""Faster R-CNN (NHWC, flax) with static-shape XLA-native detection heads.
+
+TPU-native re-design of the reference's vendored torchvision detector
+(``model/faster_rcnn.py``, 2571 LoC). Parity map:
+
+  GeneralizedRCNN.forward contract -> model/faster_rcnn.py:56-133
+      __call__(images, targets=None, manual_proposals=None, return_feat=False)
+      returns (detections, losses, feats); training_mode == targets given.
+  GeneralizedRCNNTransform          -> model/faster_rcnn.py:262-263,2266-2349
+  FeaturePyramidNetwork/BackboneWithFPN -> model/faster_rcnn.py:592-639
+  AnchorGenerator                   -> model/faster_rcnn.py:466
+  RPNHead / RegionProposalNetwork   -> model/faster_rcnn.py:1885-2260
+  TwoMLPHead / FastRCNNPredictor    -> model/faster_rcnn.py:377-461
+  RoIHeads (+fastrcnn_loss)         -> model/faster_rcnn.py:1011-,1402-1440
+  fasterrcnn_mobilenet_v3_large_fpn -> model/faster_rcnn.py:733-795
+  fasterrcnn_resnet50_fpn_v2        -> model/faster_rcnn.py:939-
+
+TPU-first redesign (SURVEY.md §7 "hard parts" — no dynamic shapes):
+
+* the torch list-of-images / list-of-dicts API becomes fixed-size padded
+  tensors + validity masks: targets {boxes (B,G,4), labels (B,G), valid
+  (B,G)}, proposals (B,P,4)+mask, detections (B,D,…)+mask;
+* per-image loops become ``vmap``; NMS is the O(N²) masked-greedy kernel in
+  ``edtr_tpu.ops.boxes``; RoIAlign is gather-based (``edtr_tpu.ops.roi_align``);
+* all top-k sizes (pre/post NMS, detections/img, sampled rois) are static.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from edtr_tpu.models.mobilenetv3 import ConvBNAct, MobileNetV3
+from edtr_tpu.models.resnet import ResNet, IMAGENET_MEAN, IMAGENET_STD
+from edtr_tpu.ops import boxes as box_ops
+from edtr_tpu.ops.roi_align import multiscale_roi_align
+
+Dtype = Any
+
+
+# =============================================================================
+# Transform
+# =============================================================================
+
+class RCNNTransform:
+    """Resize + normalize; parity ``GeneralizedRCNNTransform`` (:2266-2349).
+
+    Static variant: all images in a batch share (H, W), so the torch
+    per-image resize loop collapses into one bilinear resize. ``scale`` is
+    computed from static shapes; boxes rescale by the same factor.
+    """
+
+    def __init__(self, min_size: int = 800, max_size: int = 1333,
+                 image_mean=IMAGENET_MEAN, image_std=IMAGENET_STD,
+                 size_divisible: int = 32):
+        self.min_size = min_size
+        self.max_size = max_size
+        self.image_mean = image_mean
+        self.image_std = image_std
+        self.size_divisible = size_divisible
+
+    def scale_for(self, h: int, w: int) -> float:
+        scale = self.min_size / min(h, w)
+        if scale * max(h, w) > self.max_size:
+            scale = self.max_size / max(h, w)
+        return scale
+
+    def resize(self, images: jnp.ndarray, boxes: Optional[jnp.ndarray] = None):
+        b, h, w, c = images.shape
+        scale = self.scale_for(h, w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        images = jax.image.resize(images, (b, nh, nw, c), "bilinear")
+        d = self.size_divisible
+        ph = (nh + d - 1) // d * d - nh
+        pw = (nw + d - 1) // d * d - nw
+        if ph or pw:
+            images = jnp.pad(images, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        if boxes is not None:
+            boxes = boxes * jnp.asarray([nw / w, nh / h, nw / w, nh / h], images.dtype)
+        return images, boxes, (nh, nw), scale
+
+    def normalize(self, images: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.asarray(self.image_mean, images.dtype)
+        std = jnp.asarray(self.image_std, images.dtype)
+        return (images - mean) / std
+
+    def postprocess_boxes(self, boxes: jnp.ndarray, scale: float) -> jnp.ndarray:
+        return boxes / scale
+
+
+# =============================================================================
+# FPN
+# =============================================================================
+
+class FeaturePyramidNetwork(nn.Module):
+    """1x1 inner + top-down add + 3x3 layer convs, LastLevelMaxPool extra."""
+
+    out_channels: int = 256
+    num_levels: int = 2
+    extra_maxpool: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+        inner = [
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name=f"inner_{i}")(f)
+            for i, f in enumerate(feats)
+        ]
+        # top-down pathway
+        results = [None] * len(inner)
+        last = inner[-1]
+        results[-1] = last
+        for i in range(len(inner) - 2, -1, -1):
+            th, tw = inner[i].shape[1], inner[i].shape[2]
+            up = jax.image.resize(last, (last.shape[0], th, tw, last.shape[-1]), "nearest")
+            last = inner[i] + up
+            results[i] = last
+        outs = [
+            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name=f"layer_{i}")(r)
+            for i, r in enumerate(results)
+        ]
+        if self.extra_maxpool:
+            p = outs[-1]
+            p = jnp.pad(p, ((0, 0), (0, 1), (0, 1), (0, 0)), constant_values=-jnp.inf)
+            p = nn.max_pool(p, (2, 2), strides=(2, 2), padding="VALID")
+            outs.append(p)
+        return outs
+
+
+# =============================================================================
+# Anchors
+# =============================================================================
+
+def generate_anchors(
+    feat_shapes: Sequence[Tuple[int, int]],
+    strides: Sequence[int],
+    sizes: Sequence[Sequence[int]],
+    aspect_ratios: Sequence[Sequence[float]],
+) -> List[np.ndarray]:
+    """Per-level anchor grids (host numpy, static shapes).
+
+    Parity: ``AnchorGenerator`` (:466) — zero-centered cell anchors shifted
+    over the feature grid.
+    """
+    out = []
+    for (fh, fw), stride, szs, ars in zip(feat_shapes, strides, sizes, aspect_ratios):
+        cell = []
+        for s in szs:
+            for ar in ars:
+                h = s * math.sqrt(ar)
+                w = s / math.sqrt(ar)
+                cell.append([-w / 2, -h / 2, w / 2, h / 2])
+        cell = np.asarray(cell, np.float32)  # (A, 4)
+        ys = (np.arange(fh, dtype=np.float32)) * stride
+        xs = (np.arange(fw, dtype=np.float32)) * stride
+        shift_x, shift_y = np.meshgrid(xs, ys)
+        shifts = np.stack(
+            [shift_x.ravel(), shift_y.ravel(), shift_x.ravel(), shift_y.ravel()], axis=1
+        )  # (HW, 4)
+        anchors = (shifts[:, None, :] + cell[None, :, :]).reshape(-1, 4)
+        out.append(np.round(anchors * 1e4) / 1e4)
+    return out
+
+
+# =============================================================================
+# Heads
+# =============================================================================
+
+class RPNHead(nn.Module):
+    num_anchors: int
+    conv_depth: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        logits, deltas = [], []
+        convs = [
+            nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                    param_dtype=jnp.float32, name=f"conv_{d}")
+            for d in range(self.conv_depth)
+        ]
+        cls = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
+                      param_dtype=jnp.float32, name="cls_logits")
+        reg = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
+                      param_dtype=jnp.float32, name="bbox_pred")
+        for f in feats:
+            t = f
+            for conv in convs:
+                t = jax.nn.relu(conv(t))
+            logits.append(cls(t).astype(jnp.float32))
+            deltas.append(reg(t).astype(jnp.float32))
+        return logits, deltas
+
+
+class TwoMLPHead(nn.Module):
+    representation_size: int = 1024
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.reshape(x.shape[0], -1)
+        x = jax.nn.relu(nn.Dense(self.representation_size, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="fc6")(x))
+        x = jax.nn.relu(nn.Dense(self.representation_size, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="fc7")(x))
+        return x
+
+
+class FastRCNNConvFCHead(nn.Module):
+    """v2 box head: 4x conv3x3+GN+relu then fc (fasterrcnn_resnet50_fpn_v2)."""
+
+    representation_size: int = 1024
+    conv_channels: int = 256
+    num_convs: int = 4
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.num_convs):
+            x = nn.Conv(self.conv_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                        use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"conv_{i}")(x)
+            x = nn.GroupNorm(num_groups=32, param_dtype=jnp.float32, name=f"gn_{i}")(
+                x.astype(jnp.float32)
+            ).astype(x.dtype)
+            x = jax.nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = jax.nn.relu(nn.Dense(self.representation_size, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="fc")(x))
+        return x
+
+
+class FastRCNNPredictor(nn.Module):
+    num_classes: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        scores = nn.Dense(self.num_classes, dtype=self.dtype,
+                          param_dtype=jnp.float32, name="cls_score")(x)
+        deltas = nn.Dense(self.num_classes * 4, dtype=self.dtype,
+                          param_dtype=jnp.float32, name="bbox_pred")(x)
+        return scores.astype(jnp.float32), deltas.astype(jnp.float32)
+
+
+# =============================================================================
+# Matching / sampling (training)
+# =============================================================================
+
+BELOW_LOW = -1
+BETWEEN = -2
+
+
+def match_boxes(
+    iou: jnp.ndarray,
+    high: float,
+    low: float,
+    allow_low_quality: bool,
+    gt_valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """torchvision ``Matcher`` (model/util.py:746): per-anchor best gt index,
+    -1 below low, -2 between. ``iou``: (G, N) gt x anchors."""
+    iou = jnp.where(gt_valid[:, None], iou, -1.0)
+    best_gt = jnp.argmax(iou, axis=0)  # (N,)
+    best_val = jnp.max(iou, axis=0)
+    matches = jnp.where(best_val < low, BELOW_LOW, best_gt)
+    matches = jnp.where((best_val >= low) & (best_val < high), BETWEEN, matches)
+    if allow_low_quality:
+        # for each gt, anchors with iou == that gt's max get matched
+        gt_best = jnp.max(iou, axis=1, keepdims=True)  # (G,1)
+        is_best = (iou == gt_best) & (gt_best > 0) & gt_valid[:, None]
+        any_best = jnp.any(is_best, axis=0)
+        forced = jnp.argmax(is_best, axis=0)
+        matches = jnp.where(any_best, forced, matches)
+    return matches
+
+
+def balanced_sample(
+    rng: jax.Array,
+    pos_mask: jnp.ndarray,
+    neg_mask: jnp.ndarray,
+    batch_size: int,
+    positive_fraction: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """BalancedPositiveNegativeSampler (model/util.py:860), static-size.
+
+    Returns boolean masks for sampled positives/negatives (random permutation
+    selection, same distribution as torch's randperm subsetting).
+    """
+    n = pos_mask.shape[0]
+    max_pos = int(batch_size * positive_fraction)
+    r1, r2 = jax.random.split(rng)
+
+    def pick(rng_, mask, k):
+        scores = jax.random.uniform(rng_, (n,)) + (~mask) * 10.0
+        order = jnp.argsort(scores)  # valid candidates first, random order
+        ranks = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+        n_avail = jnp.sum(mask)
+        return mask & (ranks < jnp.minimum(k, n_avail))
+
+    sampled_pos = pick(r1, pos_mask, max_pos)
+    n_pos = jnp.sum(sampled_pos)
+    sampled_neg = pick(r2, neg_mask, batch_size - n_pos)
+    return sampled_pos, sampled_neg
+
+
+def smooth_l1(x: jnp.ndarray, beta: float = 1.0 / 9) -> jnp.ndarray:
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * ax ** 2 / beta, ax - 0.5 * beta)
+
+
+# =============================================================================
+# FasterRCNN
+# =============================================================================
+
+class FasterRCNN(nn.Module):
+    """Assembled detector. Backbone selected by ``backbone_type``.
+
+    Inference: ``__call__(images)`` -> (detections, {}, feats)
+    Training:  ``__call__(images, targets=..., rngs={'sampler': key})``
+               -> (detections, losses, feats)
+    """
+
+    num_classes: int = 91
+    backbone_type: str = "mobilenet_v3_large_fpn"  # or resnet50_fpn_v2
+    min_size: int = 800
+    max_size: int = 1333
+    # RPN
+    rpn_pre_nms_top_n_train: int = 2000
+    rpn_pre_nms_top_n_test: int = 1000
+    rpn_post_nms_top_n_train: int = 2000
+    rpn_post_nms_top_n_test: int = 1000
+    rpn_nms_thresh: float = 0.7
+    rpn_fg_iou_thresh: float = 0.7
+    rpn_bg_iou_thresh: float = 0.3
+    rpn_batch_size_per_image: int = 256
+    rpn_positive_fraction: float = 0.5
+    rpn_score_thresh: float = 0.0
+    # Box head
+    box_score_thresh: float = 0.05
+    box_nms_thresh: float = 0.5
+    box_detections_per_img: int = 100
+    box_fg_iou_thresh: float = 0.5
+    box_bg_iou_thresh: float = 0.5
+    box_batch_size_per_image: int = 512
+    box_positive_fraction: float = 0.25
+    bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+    dtype: Optional[Dtype] = None
+
+    @property
+    def transform(self) -> RCNNTransform:
+        return RCNNTransform(self.min_size, self.max_size)
+
+    def _backbone_cfg(self):
+        if self.backbone_type == "mobilenet_v3_large_fpn":
+            return dict(strides=(16, 32, 64),
+                        anchor_sizes=((32, 64, 128, 256, 512),) * 3,
+                        aspect_ratios=((0.5, 1.0, 2.0),) * 3,
+                        rpn_conv_depth=1, box_head="mlp")
+        else:  # resnet50_fpn_v2: 5 levels
+            return dict(strides=(4, 8, 16, 32, 64),
+                        anchor_sizes=((32,), (64,), (128,), (256,), (512,)),
+                        aspect_ratios=((0.5, 1.0, 2.0),) * 5,
+                        rpn_conv_depth=2, box_head="convfc")
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        targets: Optional[Dict[str, jnp.ndarray]] = None,
+        manual_proposals: Optional[jnp.ndarray] = None,
+        return_feat: bool = False,
+        train_backbone: bool = False,
+    ):
+        cfg = self._backbone_cfg()
+        training_mode = targets is not None
+        b, orig_h, orig_w, _ = images.shape
+
+        tfm = self.transform
+        boxes_in = targets["boxes"] if training_mode else None
+        images_n = tfm.normalize(images)
+        images_r, boxes_r, (img_h, img_w), scale = tfm.resize(images_n, boxes_in)
+        images_r = images_r.astype(self.dtype or images_r.dtype)
+
+        # --- backbone + FPN ---------------------------------------------------
+        if self.backbone_type == "mobilenet_v3_large_fpn":
+            body = MobileNetV3(dtype=self.dtype, name="body")
+            feats_all = body(images_r, train=train_backbone, features=True)
+            si = body.stage_indices()
+            c_feats = [feats_all[si[-2]], feats_all[si[-1]]]  # C4, C5
+            fpn = FeaturePyramidNetwork(
+                out_channels=256, num_levels=2, extra_maxpool=True,
+                dtype=self.dtype, name="fpn",
+            )
+            fpn_feats = fpn(c_feats)  # ['0', '1', 'pool']
+            pool_levels = [0, 1]  # MultiScaleRoIAlign featmap_names ['0','1']
+        else:
+            backbone = ResNet(type=50, dtype=self.dtype, name="body")
+            # capture C2..C5 via the 4 stage outputs
+            feats_all = _resnet_stages(backbone, images_r, train_backbone)
+            fpn = FeaturePyramidNetwork(
+                out_channels=256, num_levels=4, extra_maxpool=True,
+                dtype=self.dtype, name="fpn",
+            )
+            fpn_feats = fpn(feats_all)  # ['0','1','2','3','pool']
+            pool_levels = [0, 1, 2, 3]
+
+        fpn_feats = [f.astype(jnp.float32) for f in fpn_feats]
+        strides = cfg["strides"]
+        num_anchors = len(cfg["anchor_sizes"][0]) * len(cfg["aspect_ratios"][0])
+
+        # --- RPN ---------------------------------------------------------------
+        rpn_head = RPNHead(num_anchors=num_anchors, conv_depth=cfg["rpn_conv_depth"],
+                           dtype=self.dtype, name="rpn_head")
+        objectness, pred_deltas = rpn_head(fpn_feats)
+
+        feat_shapes = [(f.shape[1], f.shape[2]) for f in fpn_feats]
+        anchors_np = generate_anchors(
+            feat_shapes, strides, cfg["anchor_sizes"], cfg["aspect_ratios"]
+        )
+        anchors = [jnp.asarray(a) for a in anchors_np]
+
+        pre_nms = self.rpn_pre_nms_top_n_train if training_mode else self.rpn_pre_nms_top_n_test
+        post_nms = self.rpn_post_nms_top_n_train if training_mode else self.rpn_post_nms_top_n_test
+
+        def per_image_proposals(obj_list, delta_list):
+            lvl_boxes, lvl_scores, lvl_ids, lvl_valid = [], [], [], []
+            for li, (obj, dlt, anc) in enumerate(zip(obj_list, delta_list, anchors)):
+                n_l = anc.shape[0]
+                # NHWC flatten: index (h*W + w)*A + a — matches the anchor
+                # grid layout (shifts outer, cell anchors inner)
+                obj_f = obj.reshape(-1)
+                dlt_f = dlt.reshape(-1, 4)
+                k = min(pre_nms, n_l)
+                idx, _ = box_ops.top_k_by_score(obj_f, k)
+                top_scores = obj_f[idx]
+                top_boxes = box_ops.decode_boxes(dlt_f[idx], anc[idx]).reshape(-1, 4)
+                top_boxes = box_ops.clip_boxes_to_image(top_boxes, img_h, img_w)
+                valid = box_ops.small_box_mask(top_boxes, 1e-3)
+                valid &= jax.nn.sigmoid(top_scores) >= self.rpn_score_thresh
+                lvl_boxes.append(top_boxes)
+                lvl_scores.append(top_scores)
+                lvl_ids.append(jnp.full((k,), li, jnp.int32))
+                lvl_valid.append(valid)
+            all_boxes = jnp.concatenate(lvl_boxes)
+            all_scores = jnp.concatenate(lvl_scores)
+            all_ids = jnp.concatenate(lvl_ids)
+            all_valid = jnp.concatenate(lvl_valid)
+            keep = box_ops.batched_nms_mask(
+                all_boxes, all_scores, all_ids, self.rpn_nms_thresh, all_valid
+            )
+            idx, kvalid = box_ops.top_k_by_score(
+                all_scores, min(post_nms, all_boxes.shape[0]), keep
+            )
+            return all_boxes[idx], all_scores[idx], kvalid
+
+        proposals, prop_scores, prop_valid = jax.vmap(per_image_proposals)(
+            objectness, pred_deltas
+        )
+
+        losses: Dict[str, jnp.ndarray] = {}
+        if training_mode:
+            rng = self.make_rng("sampler")
+            anchors_cat = jnp.concatenate(anchors, axis=0)
+            obj_cat = jnp.concatenate([o.reshape(b, -1) for o in objectness], axis=1)
+            dlt_cat = jnp.concatenate([d.reshape(b, -1, 4) for d in pred_deltas], axis=1)
+            rpn_rngs = jax.random.split(rng, b + 1)
+            rng = rpn_rngs[0]
+
+            def rpn_loss_one(obj, dlt, gtb, gtv, key):
+                iou = box_ops.box_iou(gtb, anchors_cat)  # (G, N)
+                matches = match_boxes(
+                    iou, self.rpn_fg_iou_thresh, self.rpn_bg_iou_thresh, True, gtv
+                )
+                pos = matches >= 0
+                neg = matches == BELOW_LOW
+                labels = pos.astype(jnp.float32)
+                matched_gt = gtb[jnp.clip(matches, 0)]
+                reg_targets = box_ops.encode_boxes(matched_gt, anchors_cat)
+                sp, sn = balanced_sample(
+                    key, pos, neg, self.rpn_batch_size_per_image,
+                    self.rpn_positive_fraction,
+                )
+                sampled = sp | sn
+                n_sampled = jnp.maximum(jnp.sum(sampled), 1)
+                box_l = jnp.sum(
+                    smooth_l1(dlt - reg_targets).sum(-1) * sp
+                ) / n_sampled
+                bce = optax_bce(obj, labels)
+                obj_l = jnp.sum(bce * sampled) / n_sampled
+                return obj_l, box_l
+
+            obj_l, box_l = jax.vmap(rpn_loss_one)(
+                obj_cat, dlt_cat, boxes_r, targets["valid"], rpn_rngs[1:]
+            )
+            losses["loss_objectness"] = obj_l.mean()
+            losses["loss_rpn_box_reg"] = box_l.mean()
+
+        if manual_proposals is not None:
+            proposals, prop_valid = manual_proposals
+
+        # --- RoI heads ---------------------------------------------------------
+        box_labels = None
+        if training_mode:
+            # select_training_samples: append gt boxes to proposals
+            gtb, gtl, gtv = boxes_r, targets["labels"], targets["valid"]
+            proposals = jnp.concatenate([proposals, gtb], axis=1)
+            prop_valid = jnp.concatenate([prop_valid, gtv], axis=1)
+            n_props = self.box_batch_size_per_image
+
+            roi_rngs = jax.random.split(rng, b)
+
+            def select_one(props, pvalid, gb, gl, gv, key):
+                iou = box_ops.box_iou(gb, props)  # (G, P)
+                iou = jnp.where(pvalid[None, :], iou, -1.0)
+                matches = match_boxes(
+                    iou, self.box_fg_iou_thresh, self.box_bg_iou_thresh, False, gv
+                )
+                pos = (matches >= 0) & pvalid
+                neg = (matches == BELOW_LOW) & pvalid
+                sp, sn = balanced_sample(
+                    key, pos, neg, self.box_batch_size_per_image,
+                    self.box_positive_fraction,
+                )
+                sampled = sp | sn
+                # gather sampled indices into a fixed-size set (pad by repeat)
+                order = jnp.argsort(~sampled)  # sampled first
+                idx = order[:n_props]
+                sel_valid = sampled[idx]
+                sel_props = props[idx]
+                sel_matches = matches[idx]
+                labels = jnp.where(
+                    sel_matches >= 0, gl[jnp.clip(sel_matches, 0)], 0
+                )
+                labels = jnp.where(sel_valid, labels, -1)  # -1: ignore (pad)
+                reg_t = box_ops.encode_boxes(
+                    gb[jnp.clip(sel_matches, 0)], sel_props, self.bbox_reg_weights
+                )
+                return sel_props, sel_valid, labels, reg_t
+
+            proposals, prop_valid, box_labels, reg_targets = jax.vmap(select_one)(
+                proposals, prop_valid, gtb, gtl, gtv, roi_rngs
+            )
+
+        spatial_scales = [1.0 / strides[i] for i in pool_levels]
+        pool_feats = [fpn_feats[i] for i in pool_levels]
+
+        def pool_one(feats_i, props_i):
+            return multiscale_roi_align(feats_i, props_i, spatial_scales, 7, 2)
+
+        pooled = jax.vmap(pool_one)(tuple(pool_feats), proposals)  # (B, P, 7, 7, C)
+        bp = pooled.shape[0] * pooled.shape[1]
+        pooled_flat = pooled.reshape(bp, 7, 7, pooled.shape[-1])
+
+        if cfg["box_head"] == "mlp":
+            head = TwoMLPHead(dtype=self.dtype, name="box_head")
+        else:
+            head = FastRCNNConvFCHead(dtype=self.dtype, name="box_head")
+        rep = head(pooled_flat.astype(self.dtype or pooled_flat.dtype))
+        class_logits, box_deltas = FastRCNNPredictor(
+            num_classes=self.num_classes, dtype=self.dtype, name="box_predictor"
+        )(rep)
+        n_p = proposals.shape[1]
+        class_logits = class_logits.reshape(b, n_p, -1)
+        box_deltas = box_deltas.reshape(b, n_p, -1)
+
+        feats_out = {
+            "features": {str(i): f for i, f in enumerate(fpn_feats[:-1])},
+            "objectness": objectness,
+            "pred_bbox_deltas": pred_deltas,
+            "proposals": proposals,
+        }
+        feats_out["features"]["pool"] = fpn_feats[-1]
+
+        if training_mode:
+            def head_loss_one(logits, deltas, labels, reg_t, valid):
+                n, nc = logits.shape
+                lbl = jnp.clip(labels, 0)
+                ce = -jax.nn.log_softmax(logits)[jnp.arange(n), lbl]
+                n_valid = jnp.maximum(jnp.sum(valid), 1)
+                cls_l = jnp.sum(ce * valid) / n_valid
+                d = deltas.reshape(n, nc, 4)[jnp.arange(n), lbl]
+                pos = (labels > 0) & valid
+                box_l = jnp.sum(smooth_l1(d - reg_t).sum(-1) * pos) / n_valid
+                return cls_l, box_l
+
+            cls_l, box_l = jax.vmap(head_loss_one)(
+                class_logits, box_deltas, box_labels,
+                reg_targets, prop_valid,
+            )
+            losses["loss_classifier"] = cls_l.mean()
+            losses["loss_box_reg"] = box_l.mean()
+
+        # --- inference postprocess ---------------------------------------------
+        detections = self._postprocess(
+            class_logits, box_deltas, proposals, prop_valid,
+            (img_h, img_w), scale,
+        )
+        return detections, losses, feats_out
+
+    def _postprocess(self, class_logits, box_deltas, proposals, prop_valid,
+                     img_hw, scale):
+        """Per-image: decode, clip, per-class threshold+NMS, top detections.
+
+        Parity: ``RoIHeads.postprocess_detections`` (:2018-2130).
+        """
+        img_h, img_w = img_hw
+        nc = self.num_classes
+        d_per_img = self.box_detections_per_img
+
+        def one(logits, deltas, props, pvalid):
+            scores = jax.nn.softmax(logits, axis=-1)  # (P, C)
+            boxes = box_ops.decode_boxes(deltas, props, self.bbox_reg_weights)
+            boxes = box_ops.clip_boxes_to_image(boxes, img_h, img_w)  # (P, C, 4)
+            # drop background (class 0); flatten classes
+            fg_boxes = boxes[:, 1:, :].reshape(-1, 4)
+            fg_scores = scores[:, 1:].reshape(-1)
+            fg_labels = jnp.tile(jnp.arange(1, nc, dtype=jnp.int32), (props.shape[0],))
+            valid = jnp.repeat(pvalid, nc - 1)
+            valid &= fg_scores > self.box_score_thresh
+            valid &= box_ops.small_box_mask(fg_boxes, 1e-2)
+            # cap pre-NMS work: top 4*d_per_img candidates
+            k_pre = min(4 * d_per_img, fg_scores.shape[0])
+            idx, ivalid = box_ops.top_k_by_score(fg_scores, k_pre, valid)
+            cb, cs, cl = fg_boxes[idx], fg_scores[idx], fg_labels[idx]
+            keep = box_ops.batched_nms_mask(cb, cs, cl, self.box_nms_thresh, ivalid)
+            idx2, fvalid = box_ops.top_k_by_score(cs, d_per_img, keep)
+            out_boxes = cb[idx2] / scale  # back to original image coords
+            return dict(
+                boxes=out_boxes,
+                scores=jnp.where(fvalid, cs[idx2], 0.0),
+                labels=jnp.where(fvalid, cl[idx2], 0),
+                valid=fvalid,
+            )
+
+        return jax.vmap(one)(class_logits, box_deltas, proposals, prop_valid)
+
+
+def optax_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """binary_cross_entropy_with_logits, elementwise."""
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def _resnet_stages(backbone: ResNet, x: jnp.ndarray, train: bool):
+    raise NotImplementedError(
+        "resnet50_fpn_v2 backbone stage taps land with the COCO real-world "
+        "recipe; VOC configs use the mobilenet FPN variant."
+    )
+
+
+def fasterrcnn_mobilenet_v3_large_fpn(
+    weights=None, weights_backbone=None, num_classes: int = 91,
+    dtype=None, **kwargs,
+) -> FasterRCNN:
+    """Factory; parity ``model/faster_rcnn.py:733-795`` (rpn_score_thresh=0.05)."""
+    return FasterRCNN(
+        num_classes=num_classes,
+        backbone_type="mobilenet_v3_large_fpn",
+        rpn_score_thresh=kwargs.pop("rpn_score_thresh", 0.05),
+        dtype=dtype,
+    )
+
+
+def fasterrcnn_resnet50_fpn_v2(
+    weights=None, weights_backbone=None, num_classes: int = 91,
+    dtype=None, **kwargs,
+) -> FasterRCNN:
+    """Factory; parity ``model/faster_rcnn.py:939``."""
+    return FasterRCNN(
+        num_classes=num_classes,
+        backbone_type="resnet50_fpn_v2",
+        dtype=dtype,
+    )

@@ -1,0 +1,163 @@
+"""Box operations with XLA-friendly static shapes.
+
+TPU-native equivalents of ``torchvision.ops.boxes`` as used by the reference
+detection stack (``model/faster_rcnn.py:9-10``): on GPU these are C++/CUDA
+kernels inside torchvision; here they are pure jnp with fixed-size padded box
+tensors + validity masks (SURVEY.md §7 "hard parts": no dynamic shapes).
+
+Boxes are (x1, y1, x2, y2) in pixels, arrays of shape (..., N, 4).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# torchvision defaults (model/faster_rcnn.py:641-744 BoxCoder usage)
+BBOX_XFORM_CLIP = float(jnp.log(1000.0 / 16))
+
+
+def box_area(boxes: jnp.ndarray) -> jnp.ndarray:
+    return (boxes[..., 2] - boxes[..., 0]) * (boxes[..., 3] - boxes[..., 1])
+
+
+def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU: a (N,4), b (M,4) -> (N,M)."""
+    area_a = box_area(a)[:, None]
+    area_b = box_area(b)[None, :]
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / jnp.maximum(area_a + area_b - inter, 1e-9)
+
+
+def clip_boxes_to_image(boxes: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    x1 = jnp.clip(boxes[..., 0], 0, w)
+    y1 = jnp.clip(boxes[..., 1], 0, h)
+    x2 = jnp.clip(boxes[..., 2], 0, w)
+    y2 = jnp.clip(boxes[..., 3], 0, h)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def small_box_mask(boxes: jnp.ndarray, min_size: float) -> jnp.ndarray:
+    """True for boxes with BOTH sides >= min_size (torchvision remove_small_boxes)."""
+    ws = boxes[..., 2] - boxes[..., 0]
+    hs = boxes[..., 3] - boxes[..., 1]
+    return (ws >= min_size) & (hs >= min_size)
+
+
+# -- BoxCoder -------------------------------------------------------------------
+
+def encode_boxes(
+    reference: jnp.ndarray, proposals: jnp.ndarray, weights=(1.0, 1.0, 1.0, 1.0)
+) -> jnp.ndarray:
+    """Encode gt ``reference`` against ``proposals`` -> deltas.
+
+    Parity: ``BoxCoder.encode`` (``model/util.py:641``-, torchvision math).
+    """
+    wx, wy, ww, wh = weights
+    px1, py1, px2, py2 = jnp.split(proposals, 4, axis=-1)
+    gx1, gy1, gx2, gy2 = jnp.split(reference, 4, axis=-1)
+    pw = px2 - px1
+    ph = py2 - py1
+    pcx = px1 + 0.5 * pw
+    pcy = py1 + 0.5 * ph
+    gw = gx2 - gx1
+    gh = gy2 - gy1
+    gcx = gx1 + 0.5 * gw
+    gcy = gy1 + 0.5 * gh
+    dx = wx * (gcx - pcx) / jnp.maximum(pw, 1e-9)
+    dy = wy * (gcy - pcy) / jnp.maximum(ph, 1e-9)
+    dw = ww * jnp.log(jnp.maximum(gw, 1e-9) / jnp.maximum(pw, 1e-9))
+    dh = wh * jnp.log(jnp.maximum(gh, 1e-9) / jnp.maximum(ph, 1e-9))
+    return jnp.concatenate([dx, dy, dw, dh], axis=-1)
+
+
+def decode_boxes(
+    deltas: jnp.ndarray, boxes: jnp.ndarray, weights=(1.0, 1.0, 1.0, 1.0)
+) -> jnp.ndarray:
+    """Apply deltas to anchors/proposals; parity ``BoxCoder.decode``.
+
+    deltas: (..., N, K*4) for K classes; boxes: (..., N, 4).
+    Returns (..., N, K, 4).
+    """
+    wx, wy, ww, wh = weights
+    shape = deltas.shape
+    k = shape[-1] // 4
+    deltas = deltas.reshape(shape[:-1] + (k, 4))
+    pw = (boxes[..., 2] - boxes[..., 0])[..., None]
+    ph = (boxes[..., 3] - boxes[..., 1])[..., None]
+    pcx = boxes[..., 0][..., None] + 0.5 * pw
+    pcy = boxes[..., 1][..., None] + 0.5 * ph
+    dx = deltas[..., 0] / wx
+    dy = deltas[..., 1] / wy
+    dw = jnp.clip(deltas[..., 2] / ww, None, BBOX_XFORM_CLIP)
+    dh = jnp.clip(deltas[..., 3] / wh, None, BBOX_XFORM_CLIP)
+    cx = dx * pw + pcx
+    cy = dy * ph + pcy
+    w = jnp.exp(dw) * pw
+    h = jnp.exp(dh) * ph
+    out = jnp.stack(
+        [cx - 0.5 * w, cy - 0.5 * h, cx + 0.5 * w, cy + 0.5 * h], axis=-1
+    )
+    return out  # (..., N, K, 4)
+
+
+# -- NMS ----------------------------------------------------------------------
+
+def nms_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    valid: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Greedy NMS keep-mask over fixed-size (N,4)/(N,) inputs.
+
+    O(N²) IoU matrix + sequential greedy selection via ``fori_loop`` — the
+    XLA replacement for torchvision's CUDA ``nms`` kernel. Returns a boolean
+    keep mask aligned with the (unsorted) inputs.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
+    sorted_boxes = boxes[order]
+    sorted_valid = valid[order]
+    iou = box_iou(sorted_boxes, sorted_boxes)
+
+    def body(i, keep):
+        # keep[i] stays True only if not suppressed by an earlier kept box
+        sup = (iou[:, i] > iou_threshold) & keep & (jnp.arange(n) < i)
+        keep_i = keep[i] & ~jnp.any(sup)
+        return keep.at[i].set(keep_i)
+
+    keep_sorted = jax.lax.fori_loop(0, n, body, sorted_valid)
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
+    return keep
+
+
+def batched_nms_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    idxs: jnp.ndarray,
+    iou_threshold: float,
+    valid: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Category-aware NMS via the coordinate-offset trick (torchvision's
+    ``batched_nms``): boxes of different ``idxs`` never overlap."""
+    max_coord = jnp.max(jnp.where(valid[:, None] if valid is not None else True, boxes, 0.0)) + 1.0
+    offsets = idxs.astype(boxes.dtype) * max_coord
+    shifted = boxes + offsets[:, None]
+    return nms_mask(shifted, scores, iou_threshold, valid)
+
+
+def top_k_by_score(
+    scores: jnp.ndarray, k: int, valid: jnp.ndarray = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Indices + validity of the top-k scores (invalid -> -inf)."""
+    masked = scores if valid is None else jnp.where(valid, scores, -jnp.inf)
+    vals, idx = jax.lax.top_k(masked, k)
+    return idx, jnp.isfinite(vals)

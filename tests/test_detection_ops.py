@@ -1,0 +1,109 @@
+"""Unit tests: box ops, NMS, RoIAlign, matcher/sampler (static-shape kernels)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edtr_tpu.ops import boxes as B
+from edtr_tpu.ops.roi_align import fpn_level_for_rois, roi_align
+
+
+def test_box_iou_known_values():
+    a = jnp.asarray([[0, 0, 10, 10], [0, 0, 5, 5]], jnp.float32)
+    b = jnp.asarray([[0, 0, 10, 10], [5, 5, 15, 15]], jnp.float32)
+    iou = np.asarray(B.box_iou(a, b))
+    np.testing.assert_allclose(iou[0, 0], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(iou[0, 1], 25 / 175, rtol=1e-5)
+    np.testing.assert_allclose(iou[1, 1], 0.0, atol=1e-7)
+
+
+def test_encode_decode_roundtrip():
+    g = np.random.default_rng(0)
+    props = jnp.asarray(np.abs(g.random((8, 4))) * 50, jnp.float32)
+    props = props.at[:, 2:].set(props[:, :2] + 10 + props[:, 2:])
+    gt = props + jnp.asarray(g.normal(0, 2, (8, 4)), jnp.float32)
+    weights = (10.0, 10.0, 5.0, 5.0)
+    deltas = B.encode_boxes(gt, props, weights)
+    rec = B.decode_boxes(deltas, props, weights).reshape(8, 4)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(gt), rtol=1e-3, atol=1e-3)
+
+
+def test_nms_greedy_semantics():
+    boxes = jnp.asarray(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30], [21, 21, 31, 31]],
+        jnp.float32,
+    )
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.95], jnp.float32)
+    keep = np.asarray(B.nms_mask(boxes, scores, 0.5))
+    # box 0 suppresses 1; box 3 suppresses 2
+    np.testing.assert_array_equal(keep, [True, False, False, True])
+
+
+def test_batched_nms_respects_classes():
+    boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8], jnp.float32)
+    same = np.asarray(B.batched_nms_mask(boxes, scores, jnp.asarray([1, 1]), 0.5))
+    diff = np.asarray(B.batched_nms_mask(boxes, scores, jnp.asarray([1, 2]), 0.5))
+    np.testing.assert_array_equal(same, [True, False])
+    np.testing.assert_array_equal(diff, [True, True])
+
+
+def test_nms_invalid_entries_never_kept():
+    boxes = jnp.zeros((4, 4), jnp.float32)
+    scores = jnp.asarray([0.5, 0.6, 0.7, 0.8], jnp.float32)
+    valid = jnp.asarray([True, False, True, False])
+    keep = np.asarray(B.nms_mask(boxes, scores, 0.5, valid))
+    assert not keep[1] and not keep[3]
+
+
+def test_roi_align_constant_field():
+    # constant feature map -> every pooled bin equals the constant
+    feat = jnp.full((16, 16, 3), 7.0, jnp.float32)
+    rois = jnp.asarray([[2.0, 2.0, 10.0, 10.0]], jnp.float32)
+    out = roi_align(feat, rois, spatial_scale=1.0, output_size=7)
+    np.testing.assert_allclose(np.asarray(out), 7.0, rtol=1e-6)
+
+
+def test_roi_align_linear_field_exact():
+    # bilinear sampling of a linear ramp is exact
+    ys = jnp.arange(16, dtype=jnp.float32)
+    feat = jnp.broadcast_to(ys[:, None, None], (16, 16, 1))
+    rois = jnp.asarray([[0.0, 4.0, 8.0, 12.0]], jnp.float32)
+    out = np.asarray(roi_align(feat, rois, 1.0, output_size=4, sampling_ratio=2))
+    # bin centers along y: 4 + (i + .5) * 2 -> 5, 7, 9, 11
+    np.testing.assert_allclose(out[0, :, 0, 0], [5, 7, 9, 11], rtol=1e-5)
+
+
+def test_fpn_level_mapper():
+    rois = jnp.asarray(
+        [[0, 0, 64, 64], [0, 0, 448, 448]], jnp.float32
+    )
+    lvls = np.asarray(fpn_level_for_rois(rois, 4, 5))
+    assert lvls[0] == 0  # small box -> first level
+    assert lvls[1] == 1  # large box -> second level
+
+
+def test_matcher_thresholds():
+    from edtr_tpu.models.faster_rcnn import match_boxes, BELOW_LOW, BETWEEN
+
+    iou = jnp.asarray([[0.8, 0.5, 0.1]], jnp.float32)  # 1 gt x 3 anchors
+    gt_valid = jnp.asarray([True])
+    m = np.asarray(match_boxes(iou, 0.7, 0.3, False, gt_valid))
+    np.testing.assert_array_equal(m, [0, BETWEEN, BELOW_LOW])
+
+    # allow_low_quality forces the best anchor per gt even below threshold
+    iou2 = jnp.asarray([[0.2, 0.1, 0.05]], jnp.float32)
+    m2 = np.asarray(match_boxes(iou2, 0.7, 0.3, True, gt_valid))
+    assert m2[0] == 0 and m2[1] == BELOW_LOW
+
+
+def test_balanced_sampler_counts():
+    from edtr_tpu.models.faster_rcnn import balanced_sample
+
+    pos = jnp.asarray([True] * 10 + [False] * 90)
+    neg = jnp.asarray([False] * 10 + [True] * 90)
+    sp, sn = balanced_sample(jax.random.PRNGKey(0), pos, neg, 64, 0.5)
+    n_pos, n_neg = int(sp.sum()), int(sn.sum())
+    assert n_pos == 10  # only 10 positives available (cap 32)
+    assert n_neg == 64 - n_pos
+    assert not bool((sp & ~pos).any()) and not bool((sn & ~neg).any())

@@ -1,0 +1,132 @@
+"""Evaluator + metric tests: COCO mAP protocol, mIoU, top-k, PSNR, tiling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edtr_tpu.utils.coco_eval import CocoEvaluator
+from edtr_tpu.utils.metrics import compute_iou, confusion_matrix, topk_accuracy
+from edtr_tpu.utils.image import calculate_psnr, wavelet_reconstruction
+
+
+def _gt():
+    return {
+        "img1": dict(
+            boxes=np.array([[10, 10, 50, 50], [60, 60, 100, 100]], float),
+            labels=np.array([1, 2]),
+            iscrowd=np.array([0, 0]),
+            area=np.array([1600.0, 1600.0]),
+        ),
+        "img2": dict(
+            boxes=np.array([[0, 0, 40, 40]], float),
+            labels=np.array([1]),
+            iscrowd=np.array([0]),
+            area=np.array([1600.0]),
+        ),
+    }
+
+
+def test_coco_eval_perfect_predictions():
+    ev = CocoEvaluator(_gt())
+    ev.update({
+        "img1": dict(
+            boxes=np.array([[10, 10, 50, 50], [60, 60, 100, 100]], float),
+            scores=np.array([0.9, 0.8]),
+            labels=np.array([1, 2]),
+        ),
+        "img2": dict(
+            boxes=np.array([[0, 0, 40, 40]], float),
+            scores=np.array([0.95]),
+            labels=np.array([1]),
+        ),
+    })
+    ev.accumulate()
+    stats = ev.summarize(verbose=False)
+    assert stats["AP"] > 0.99 and stats["AP50"] > 0.99
+
+
+def test_coco_eval_false_positive_lowers_ap():
+    ev = CocoEvaluator(_gt())
+    ev.update({
+        "img1": dict(
+            boxes=np.array([[10, 10, 50, 50], [200, 200, 240, 240]], float),
+            scores=np.array([0.9, 0.95]),  # confident FP ranks first
+            labels=np.array([1, 1]),
+        ),
+        "img2": dict(boxes=np.zeros((0, 4)), scores=np.zeros(0), labels=np.zeros(0, int)),
+    })
+    ev.accumulate()
+    stats = ev.summarize(verbose=False)
+    assert 0.0 < stats["AP50"] < 0.9
+
+
+def test_coco_eval_localization_threshold():
+    # box with IoU ~0.58: counts at 0.5 but not 0.75
+    ev = CocoEvaluator({
+        "img": dict(boxes=np.array([[0, 0, 100, 100]], float), labels=np.array([1]),
+                    iscrowd=np.array([0]), area=np.array([10000.0]))
+    })
+    ev.update({
+        "img": dict(boxes=np.array([[0, 0, 100, 73]], float),
+                    scores=np.array([0.9]), labels=np.array([1]))
+    })
+    ev.accumulate()
+    stats = ev.summarize(verbose=False)
+    assert stats["AP50"] > 0.99
+    assert stats["AP75"] < 0.01
+
+
+def test_miou():
+    pred = np.array([[0, 1], [1, 1]])
+    tgt = np.array([[0, 1], [255, 0]])  # one ignored, one wrong
+    mat = confusion_matrix(pred, tgt, num_classes=2, ignore_index=255)
+    assert mat.sum() == 3
+    iou, miou = compute_iou(mat)
+    np.testing.assert_allclose(iou[0], 0.5)  # 1 inter / (2 union)
+    np.testing.assert_allclose(iou[1], 0.5)
+
+
+def test_topk_accuracy():
+    logits = jnp.asarray([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]], jnp.float32)
+    labels = jnp.asarray([1, 2], jnp.int32)
+    top1, top2, top3 = topk_accuracy(logits, labels, (1, 2, 3))
+    assert int(top1) == 1 and int(top3) == 2
+
+
+def test_psnr_identity_and_known():
+    a = jnp.full((1, 8, 8, 3), 0.5, jnp.float32)
+    b = a + 0.1
+    psnr = float(calculate_psnr(a, b)[0])
+    np.testing.assert_allclose(psnr, 20.0, atol=0.01)  # 10*log10(1/0.01)
+
+
+def test_wavelet_reconstruction_identity():
+    g = np.random.default_rng(0)
+    x = jnp.asarray(g.random((1, 32, 32, 3)), jnp.float32)
+    # same content/style -> exact reconstruction of x
+    rec = wavelet_reconstruction(x, x)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-5)
+
+
+def test_tiled_fn_matches_direct_on_linear_op():
+    from edtr_tpu.utils.tiling import make_tiled_fn
+
+    g = np.random.default_rng(1)
+    x = jnp.asarray(g.random((1, 16, 16, 3)), jnp.float32)
+    fn = lambda t: t * 2.0 + 1.0
+    tiled = make_tiled_fn(fn, size=8, stride=4)
+    np.testing.assert_allclose(np.asarray(tiled(x)), np.asarray(fn(x)), rtol=1e-5, atol=1e-5)
+
+
+def test_harness_padding():
+    from edtr_tpu.train.harness import list_to_batch, pad_annots
+
+    imgs = [np.ones((10, 8, 3), np.float32), np.ones((12, 12, 3), np.float32)]
+    batch = list_to_batch(imgs, img_size=16)
+    assert batch.shape == (2, 16, 16, 3)
+    assert batch[0, :10, :8].min() == 1.0 and batch[0, 10:, :].max() == 0.0
+
+    annots = [dict(boxes=[[1, 2, 3, 4]], labels=[5])]
+    padded = pad_annots(annots, max_gt=8)
+    assert padded["boxes"].shape == (1, 8, 4)
+    assert padded["valid"][0, 0] and not padded["valid"][0, 1]
