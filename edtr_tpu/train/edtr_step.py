@@ -1,25 +1,23 @@
-"""EDTR training step: the two-optimizer alternating update, compiled.
+"""EDTR training step: the two-optimizer alternating update, fully compiled.
 
-Parity: the hot loop of ``main/det/train_edtr.py:160-241`` (/root/reference):
+Parity: the hot loop of ``main/det/train_edtr.py:160-250`` (/root/reference):
 
-* **EDTR update** — frozen SwinIR -> vae_encode(mode) -> random t from the
-  used-timestep list -> ``diffusion.reverse`` (ONE ControlNet+UNet forward)
-  -> vae_decode -> wavelet -> high-level-feature (HLF) loss -> AdamW over
-  {ControlNet, VAE decoder} (lr 1e-4 cosine).
-* **task-net update** — no-grad K-step short sampling -> decode/wavelet ->
-  task loss on ½ restored + ½ GT + feature-matching vs a frozen teacher ->
-  SGD over the task net (lr 5e-3 cosine).
+* **EDTR half** (AdamW lr 1e-4 cosine->1e-7 over ControlNet [+ VAE decoder]):
+  frozen SwinIR -> vae_encode(mode) -> random t in used_timesteps ->
+  ``diffusion.reverse`` (ONE ControlNet+UNet forward) -> decode -> wavelet ->
+  HLF loss = weight_hlf * 0.5 * sum of L1 between restored/GT features of the
+  *student* AND *teacher* detnets on FPN keys [-3:-1] (== '0','1')
+  (``main/det/train_edtr.py:186-197``).
+* **task-net half** (SGD lr 5e-3 m=0.9 wd=1e-4 cosine): no-grad K-step short
+  sampling on the first half of the batch -> detnet on [restored ; GT-half]
+  with detection losses (weight_det) + feature-matching L1 vs the frozen
+  teacher on keys '0','1' (weight_fm) (``main/det/train_edtr.py:203-241``).
 
-TPU-first structure: both sub-updates live in ONE jitted step so the shared
-activations (``cond``, ``z_pre_res`` — reference reuses them across the two
-updates, ``main/det/train_edtr.py:177-218``) are computed once per step and
-XLA fuses/schedules across the boundary. Data parallelism comes from jit +
-sharded batch (grads all-reduce automatically; SURVEY.md §2.7).
-
-The HLF/task losses need task-net features; until the detection stack lands
-the step accepts pluggable ``hlf_loss_fn``/``task_update_fn`` and defaults to
-a pixel-L1 HLF surrogate (same optimizer topology, gradient paths, and
-collective structure).
+TPU-first: both halves are ONE jitted step — shared activations (cond,
+z_pre_res) are computed once (the reference reuses them too, :177-218);
+data-parallel grads all-reduce automatically via jit + sharded batch.
+When no detnet is provided (restoration-only recipes / dryrun) the HLF loss
+falls back to pixel L1 with identical optimizer topology.
 """
 
 from __future__ import annotations
@@ -37,140 +35,219 @@ from edtr_tpu.utils.image import wavelet_reconstruction
 Params = Dict[str, Any]
 
 
-def split_trainable(params: Params) -> Tuple[Params, Params]:
-    """EDTR partition: ControlNet + VAE decoder train; rest frozen.
-
-    Parity: optimizer param lists, ``main/det/train_edtr.py:84-92``.
-    """
-    trainable = {
-        "controlnet": params["controlnet"],
-        "vae_decoder": params["vae"]["decoder"],
-    }
+def split_trainable(params: Params, train_decoder: bool = True) -> Tuple[Params, Params]:
+    """EDTR partition: ControlNet (+ VAE decoder); parity :84-92."""
+    trainable = {"controlnet": params["controlnet"]}
     frozen = {
         "unet": params["unet"],
         "clip": params["clip"],
-        "vae_rest": {k: v for k, v in params["vae"].items() if k != "decoder"},
     }
-    if "swinir" in params:
-        frozen["swinir"] = params["swinir"]
+    if train_decoder:
+        trainable["vae_decoder"] = params["vae"]["decoder"]
+        frozen["vae_rest"] = {k: v for k, v in params["vae"].items() if k != "decoder"}
+    else:
+        frozen["vae_rest"] = params["vae"]
+    for k in ("swinir", "detnet", "teacher_detnet"):
+        if k in params:
+            frozen[k] = params[k]
     return trainable, frozen
 
 
 def merge_params(trainable: Params, frozen: Params) -> Params:
+    if "vae_decoder" in trainable:
+        vae = {**frozen["vae_rest"], "decoder": trainable["vae_decoder"]}
+    else:
+        vae = frozen["vae_rest"]
     params = {
         "controlnet": trainable["controlnet"],
         "unet": frozen["unet"],
         "clip": frozen["clip"],
-        "vae": {**frozen["vae_rest"], "decoder": trainable["vae_decoder"]},
+        "vae": vae,
     }
-    if "swinir" in frozen:
-        params["swinir"] = frozen["swinir"]
+    for k in ("swinir", "detnet", "teacher_detnet"):
+        if k in frozen:
+            params[k] = frozen[k]
     return params
 
 
 @struct.dataclass
 class EDTRTrainState:
     params: Params
-    opt_state: Any
+    opt_edtr_state: Any
+    opt_detnet_state: Any
     step: jnp.ndarray
-    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    tx_edtr: optax.GradientTransformation = struct.field(pytree_node=False)
+    tx_detnet: optax.GradientTransformation = struct.field(pytree_node=False)
+    train_decoder: bool = struct.field(pytree_node=False, default=True)
 
     @classmethod
     def create(
         cls,
         pipe,
         params: Params,
-        learning_rate: float = 1e-4,
+        learning_rate_edtr: float = 1e-4,
+        learning_rate_detnet: float = 5e-3,
         train_steps: int = 10000,
+        train_decoder: Optional[bool] = None,
     ) -> "EDTRTrainState":
-        # cosine-annealed AdamW, parity main/det/train_edtr.py:84-101
-        sched = optax.cosine_decay_schedule(learning_rate, train_steps)
-        tx = optax.adamw(sched)
-        trainable, _ = split_trainable(params)
+        if train_decoder is None:
+            train_decoder = getattr(pipe.cldm.vae, "train_decoder", True)
+        # cosine annealing to eta_min=1e-7; parity :89-101
+        sched_e = optax.cosine_decay_schedule(
+            learning_rate_edtr, train_steps, alpha=1e-7 / learning_rate_edtr
+        )
+        tx_edtr = optax.adamw(sched_e)
+        sched_d = optax.cosine_decay_schedule(
+            learning_rate_detnet, train_steps, alpha=1e-7 / learning_rate_detnet
+        )
+        tx_detnet = optax.chain(
+            optax.add_decayed_weights(1e-4),
+            optax.sgd(sched_d, momentum=0.9),
+        )
+        trainable, _ = split_trainable(params, train_decoder)
+        det_params = params.get("detnet", {})
         return cls(
             params=params,
-            opt_state=tx.init(trainable),
+            opt_edtr_state=tx_edtr.init(trainable),
+            opt_detnet_state=tx_detnet.init(det_params) if det_params else None,
             step=jnp.zeros((), jnp.int32),
-            tx=tx,
+            tx_edtr=tx_edtr,
+            tx_detnet=tx_detnet,
+            train_decoder=train_decoder,
         )
+
+
+def _feat_l1(fa: Dict[str, jnp.ndarray], fb: Dict[str, jnp.ndarray], keys) -> jnp.ndarray:
+    return sum(jnp.abs(fa[k] - fb[k]).mean() * 0.5 for k in keys)
 
 
 def make_edtr_train_step(
     pipe,
+    detnet=None,
     mesh=None,
     weight_hlf: float = 0.5,
+    weight_det: float = 1.0,
+    weight_fm: float = 0.2,
     hlf_loss_fn: Optional[Callable] = None,
     jit: bool = True,
 ):
-    """Build the jitted EDTR update.
+    """Build the jitted two-half EDTR update.
 
-    ``hlf_loss_fn(restored, gt) -> scalar`` defaults to L1 (the reference's
-    HLF loss is L1 over detnet FPN features, ``main/det/train_edtr.py:188-197``;
-    plug the task net in via this hook).
+    ``detnet``: the FasterRCNN module (shared by student/teacher — their
+    params differ). ``batch`` must carry lq/gt (B,H,W,3), c_txt, and padded
+    ``targets`` {boxes, labels, valid} when detnet is given.
     """
     diffusion = pipe.diffusion
     used_ts = jnp.asarray(pipe.used_timesteps, jnp.int32)
 
-    if hlf_loss_fn is None:
-        hlf_loss_fn = lambda restored, gt: jnp.abs(restored - gt).mean()
+    def det_feats(det_params, images):
+        _, _, feats = detnet.apply({"params": det_params}, images)
+        return feats["features"]
 
-    def loss_fn(trainable, frozen, batch, rng):
+    def edtr_loss(trainable, frozen, batch, shared, rng):
         params = merge_params(trainable, frozen)
-        lq, gt = batch["lq"], batch["gt"]
-        rngs = jax.random.split(rng, 3)
-
-        pre_res = pipe.pre_restore(params, lq)
-        pre_res = jax.lax.stop_gradient(pre_res)  # SwinIR frozen
-        z_pre = pipe.cldm.vae_encode(params, pre_res * 2 - 1, sample=False)
-        z_pre = jax.lax.stop_gradient(z_pre)  # encoder frozen
-        c_txt = jnp.zeros(
-            (lq.shape[0], pipe.cldm.clip.context_length, pipe.cldm.clip.width),
-            jnp.float32,
-        ) if "c_txt" not in batch else batch["c_txt"]
-        cond = dict(c_txt=c_txt, c_img=z_pre)
-
-        idx = jax.random.randint(rngs[0], (lq.shape[0],), 0, len(pipe.used_timesteps))
+        gt, pre_res, z_pre, cond = shared
+        rng_t, rng_n = jax.random.split(rng)
+        idx = jax.random.randint(rng_t, (gt.shape[0],), 0, len(pipe.used_timesteps))
         t = jnp.take(used_ts, idx)
-        out = diffusion.reverse(pipe.cldm.model_fn(params), t, z_pre, cond, rng=rngs[1])
+        out = diffusion.reverse(pipe.cldm.model_fn(params), t, z_pre, cond, rng=rng_n)
         decoded = (pipe.cldm.vae_decode(params, out["x_pred"]) + 1) / 2
-        restored = wavelet_reconstruction(decoded, pre_res)
-        loss = weight_hlf * hlf_loss_fn(restored, gt)
+        res = wavelet_reconstruction(decoded, pre_res)
+        if detnet is None:
+            loss = weight_hlf * (
+                hlf_loss_fn(res, gt) if hlf_loss_fn else jnp.abs(res - gt).mean()
+            )
+            return loss, dict(loss_hlf=loss)
+        keys = ("0", "1")  # FPN keys [-3:-1] of ['0','1','pool'] (:193)
+        f_res = det_feats(params["detnet"], res)
+        f_gt = jax.lax.stop_gradient(det_feats(params["detnet"], gt))
+        tf_res = det_feats(params["teacher_detnet"], res)
+        tf_gt = jax.lax.stop_gradient(det_feats(params["teacher_detnet"], gt))
+        loss = weight_hlf * (
+            _feat_l1(f_res, f_gt, keys) + _feat_l1(tf_res, tf_gt, keys)
+        )
         return loss, dict(loss_hlf=loss)
 
-    def step_fn(state: EDTRTrainState, batch, rng):
-        trainable, frozen = split_trainable(state.params)
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, frozen, batch, rng
+    def detnet_loss(det_params, params, batch, shared, rng):
+        gt, pre_res, z_pre, cond = shared
+        bs = gt.shape[0]
+        bs2 = max(bs // 2, 1)
+        rng_n, rng_s, rng_smp = jax.random.split(rng, 3)
+        cond2 = dict(c_txt=cond["c_txt"][:bs2], c_img=cond["c_img"][:bs2])
+        noise = jax.random.normal(rng_n, z_pre[:bs2].shape, z_pre.dtype)
+        t = jnp.full((bs2,), pipe.start_timestep, jnp.int32)
+        z_T = diffusion.q_sample(z_pre[:bs2], t, noise)
+        z = sample_scan(pipe.cldm.model_fn(params), pipe.schedule, z_T, cond2, rng_s)
+        decoded = (pipe.cldm.vae_decode(params, z) + 1) / 2
+        res = jax.lax.stop_gradient(wavelet_reconstruction(decoded, pre_res[:bs2]))
+
+        images = jnp.concatenate([res, gt[bs2:]], axis=0)
+        targets = batch["targets"]
+        _, losses, feats = detnet.apply(
+            {"params": det_params}, images, targets=targets,
+            rngs={"sampler": rng_smp},
         )
-        updates, new_opt = state.tx.update(grads, state.opt_state, trainable)
+        loss_det = weight_det * sum(losses.values())
+        tf_gt = jax.lax.stop_gradient(det_feats(params["teacher_detnet"], gt))
+        loss_fm = weight_fm * _feat_l1(feats["features"], tf_gt, ("0", "1"))
+        return loss_det + loss_fm, dict(loss_det=loss_det, loss_fm=loss_fm, **losses)
+
+    def step_fn(state: EDTRTrainState, batch, rng):
+        r_shared, r_edtr, r_det = jax.random.split(rng, 3)
+        params = state.params
+        lq, gt = batch["lq"], batch["gt"]
+        pre_res = jax.lax.stop_gradient(pipe.pre_restore(params, lq))
+        z_pre = jax.lax.stop_gradient(
+            pipe.cldm.vae_encode(params, pre_res * 2 - 1, sample=False)
+        )
+        c_txt = batch["c_txt"]
+        cond = dict(c_txt=c_txt, c_img=z_pre)
+        shared = (gt, pre_res, z_pre, cond)
+
+        trainable, frozen = split_trainable(params, state.train_decoder)
+        (loss_e, m_e), grads = jax.value_and_grad(edtr_loss, has_aux=True)(
+            trainable, frozen, batch, shared, r_edtr
+        )
+        updates, new_opt_e = state.tx_edtr.update(grads, state.opt_edtr_state, trainable)
         new_trainable = optax.apply_updates(trainable, updates)
-        new_params = merge_params(new_trainable, frozen)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        params = merge_params(new_trainable, frozen)
+        metrics = dict(m_e)
+
+        new_opt_d = state.opt_detnet_state
+        if detnet is not None:
+            det_params = params["detnet"]
+            (loss_d, m_d), dgrads = jax.value_and_grad(detnet_loss, has_aux=True)(
+                det_params, params, batch, shared, r_det
+            )
+            dupdates, new_opt_d = state.tx_detnet.update(
+                dgrads, state.opt_detnet_state, det_params
+            )
+            params = dict(params)
+            params["detnet"] = optax.apply_updates(det_params, dupdates)
+            metrics.update(m_d)
+
         return (
-            state.replace(params=new_params, opt_state=new_opt, step=state.step + 1),
+            state.replace(
+                params=params,
+                opt_edtr_state=new_opt_e,
+                opt_detnet_state=new_opt_d,
+                step=state.step + 1,
+            ),
             metrics,
         )
 
     if not jit:
         return step_fn
-
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         batch_shard = NamedSharding(mesh, P("data"))
-        return jax.jit(
-            step_fn,
-            in_shardings=(None, batch_shard, None),
-            donate_argnums=(0,),
-        )
+        return jax.jit(step_fn, in_shardings=(None, batch_shard, None), donate_argnums=(0,))
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
 def make_edtr_sample_fn(pipe, jit: bool = True):
-    """No-grad K-step restore used by the task-net half-update and eval.
-
-    Parity: ``main/det/train_edtr.py:203-218`` sampling block.
-    """
+    """No-grad K-step restore used for eval; parity ``test_edtr`` flow."""
 
     def sample(params, lq, c_txt, rng):
         pre_res = pipe.pre_restore(params, lq)

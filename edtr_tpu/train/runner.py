@@ -1,0 +1,447 @@
+"""Recipe runner: builds models/data from a reference-style YAML config and
+drives training/eval loops.
+
+This is the TPU-native counterpart of the reference's 24 ``main/{task}/*.py``
+entry scripts, whose bodies are identical boilerplate (SURVEY.md §2.6):
+config -> environment -> models -> optimizers -> loaders -> step loop with
+log/ckpt/image/val blocks. Here the boilerplate lives once; thin CLI scripts
+under ``main/`` call these functions.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edtr_tpu.config import Config, instantiate_from_config, load_config
+from edtr_tpu.pipeline import EDTRPipeline, build_pipeline_from_config
+from edtr_tpu.train.harness import collate_fn, make_dataloader, pad_annots, prepare_batch
+from edtr_tpu.utils.logging_utils import prepare_environment
+from edtr_tpu.utils import checkpoint as ckpt
+from edtr_tpu.utils import convert as C
+from edtr_tpu.utils.image import calculate_psnr
+
+
+def build_edtr_models(cfg: Config, dtype=jnp.bfloat16):
+    """Pipeline + detnets built/loaded per the config's resume_* fields.
+
+    Parity: the model-build + weight-surgery block of
+    ``main/det/train_edtr.py:43-78``.
+    """
+    pipe = build_pipeline_from_config(cfg, dtype=dtype)
+    train_cfg = cfg.get("train", None) or cfg.get("test", Config())
+
+    params: Dict[str, Any] = {}
+    sd_path = train_cfg.get("sd_path", None)
+    if sd_path and os.path.exists(sd_path):
+        sd = ckpt.load_torch_state_dict(sd_path)
+        params.update(pipe.cldm.load_pretrained_sd(sd))
+    else:
+        rng = jax.random.PRNGKey(train_cfg.get("seed", 231))
+        params.update(pipe.cldm.init_params(rng, latent_hw=64))
+
+    resume_cldm = train_cfg.get("resume_cldm", None)
+    if resume_cldm and os.path.exists(str(resume_cldm)):
+        cn = ckpt.load_network(str(resume_cldm), converter=pipe.cldm.load_controlnet_from_ckpt)
+        params["controlnet"] = cn
+    else:
+        params["controlnet"] = pipe.cldm.load_controlnet_from_unet(params["unet"])
+
+    if pipe.swinir is not None:
+        resume_swinir = train_cfg.get("resume_swinir", None)
+        conv_sw = lambda sd: C.convert_swinir(
+            sd, depths=tuple(pipe.swinir.depths), unshuffle=pipe.swinir.unshuffle,
+            upsampler=pipe.swinir.upsampler, sf=pipe.swinir.sf,
+        )
+        if resume_swinir and os.path.exists(str(resume_swinir)):
+            params["swinir"] = ckpt.load_network(str(resume_swinir), converter=conv_sw)
+        else:
+            params["swinir"] = pipe.swinir.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+            )["params"]
+    return pipe, params
+
+
+def build_detnet(cfg: Config, key: str, dtype=None):
+    """Detection net + params from config node ``model.{key}``."""
+    det = instantiate_from_config(cfg["model"][key], dtype=dtype)
+    return det
+
+
+def init_detnet_params(det, rng, image_size=512):
+    return jax.jit(det.init)(
+        {"params": rng}, jnp.zeros((1, image_size, image_size, 3))
+    )["params"]
+
+
+def edtr_train(cfg_path: str, debug: bool = False, seed: Optional[int] = None):
+    """The flagship EDTR detection training loop.
+
+    Parity: ``main/det/train_edtr.py`` — two-optimizer alternating updates,
+    log/ckpt/image/val blocks (``--debug`` short-circuits the `% every`
+    conditions exactly like the reference, :253-384).
+    """
+    from edtr_tpu.train.edtr_step import (
+        EDTRTrainState,
+        make_edtr_sample_fn,
+        make_edtr_train_step,
+    )
+
+    cfg = load_config(cfg_path)
+    exp_dir, ckpt_dir, img_dir, logger, writer = prepare_environment(cfg, cfg_path, seed)
+    train_cfg = cfg["train"]
+
+    pipe, params = build_edtr_models(cfg)
+    detnet = build_detnet(cfg, "detnet", dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(train_cfg.get("seed", 231))
+    det_params = init_detnet_params(detnet, rng)
+    teacher_params = init_detnet_params(detnet, jax.random.fold_in(rng, 1))
+    for name, field in (("detnet", "resume_detnet"), ("teacher_detnet", "resume_teacher_detnet")):
+        path = train_cfg.get(field, None)
+        if path and os.path.exists(str(path)):
+            logger(f"loading {name} from {path}")
+            # torchvision-style detnet checkpoints need the detection converter
+            # (landing with COCO recipes); orbax checkpoints restore directly
+            loaded = ckpt.load_network(str(path), template=det_params, strict=False)
+            if name == "detnet":
+                det_params = loaded
+            else:
+                teacher_params = loaded
+    params["detnet"] = det_params
+    params["teacher_detnet"] = teacher_params
+
+    state = EDTRTrainState.create(
+        pipe, params,
+        learning_rate_edtr=train_cfg.get("learning_rate_edtr", 1e-4),
+        learning_rate_detnet=train_cfg.get("learning_rate_detnet", 5e-3),
+        train_steps=train_cfg.get("train_steps", 10000),
+    )
+    step_fn = make_edtr_train_step(
+        pipe, detnet=detnet,
+        weight_hlf=train_cfg.get("weight_hlf", 0.5),
+        weight_det=train_cfg.get("weight_det", 1.0),
+        weight_fm=train_cfg.get("weight_fm", 0.2),
+    )
+    sample_fn = make_edtr_sample_fn(pipe)
+
+    dataset = instantiate_from_config(cfg["dataset"]["train"])
+    loader = make_dataloader(
+        dataset,
+        batch_size=train_cfg.get("batch_size", 16),
+        num_workers=train_cfg.get("num_workers", 0),
+        aspect_ratio_group_factor=train_cfg.get("aspect_ratio_group_factor", -1),
+        seed=train_cfg.get("seed", 231),
+    )
+    c_txt_one = pipe.cldm.encode_text(params, [train_cfg.get("default_prompt", "")])
+
+    max_steps = 2 if debug else train_cfg.get("train_steps", 10000)
+    log_every = 1 if debug else train_cfg.get("log_every", 50)
+    ckpt_every = 1 if debug else train_cfg.get("ckpt_every", 10000)
+
+    global_step = 0
+    key = jax.random.PRNGKey(train_cfg.get("seed", 231))
+    t0 = time.time()
+    while global_step < max_steps:
+        for batch in loader:
+            _, _, gt_batch, lq_batch, annot_list, _, bs = prepare_batch(batch)
+            targets = pad_annots(annot_list)
+            dev_batch = dict(
+                lq=jnp.asarray(lq_batch),
+                gt=jnp.asarray(gt_batch),
+                c_txt=jnp.tile(c_txt_one, (bs, 1, 1)),
+                targets={k: jnp.asarray(v) for k, v in targets.items()},
+            )
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, dev_batch, sub)
+            global_step += 1
+
+            if global_step % log_every == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                logger(
+                    f"step {global_step}: "
+                    + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+                    + f" ({(time.time() - t0) / global_step:.2f}s/step)"
+                )
+                if writer:
+                    for k, v in metrics.items():
+                        writer.add_scalar(f"train/{k}", v, global_step)
+            if global_step % ckpt_every == 0:
+                save = dict(
+                    controlnet=state.params["controlnet"],
+                    decoder=state.params["vae"]["decoder"],
+                    detnet=state.params["detnet"],
+                )
+                if "swinir" in state.params:
+                    save["swinir"] = state.params["swinir"]
+                ckpt.save_submodules(ckpt_dir, save, step=global_step)
+                logger(f"checkpoints saved at step {global_step}")
+            if global_step >= max_steps:
+                break
+    logger("training done")
+    return state
+
+
+def _task_apply_for(task: str, net):
+    """(loss_fn, feats_fn, eval_fn) triple for cls/seg task nets."""
+    from edtr_tpu.train.recipes import cross_entropy, seg_cross_entropy
+
+    if task == "cls":
+        def loss_fn(p, images, labels, rng):
+            logits = net.apply({"params": p}, images, normalize=True, train=False)
+            return cross_entropy(logits, labels), {}
+
+        def feats_fn(p, images):
+            _, feat = net.apply(
+                {"params": p}, images, normalize=True, return_feat=True
+            )
+            return feat
+
+        return loss_fn, feats_fn
+    if task == "seg":
+        def loss_fn(p, images, masks, rng):
+            out = net.apply({"params": p}, images, normalize=True, train=False)
+            return seg_cross_entropy(out["out"], masks), {}
+
+        def feats_fn(p, images):
+            _, feats = net.apply(
+                {"params": p}, images, normalize=True, return_feat=True
+            )
+            return feats["C5"]
+
+        return loss_fn, feats_fn
+    if task == "det":
+        def loss_fn(p, images, targets, rng):
+            _, losses, _ = net.apply(
+                {"params": p}, images, targets=targets, rngs={"sampler": rng}
+            )
+            return sum(losses.values()), losses
+
+        def feats_fn(p, images):
+            _, _, feats = net.apply({"params": p}, images)
+            return feats["features"]["0"]
+
+        return loss_fn, feats_fn
+    raise ValueError(task)
+
+
+def task_train(
+    cfg_path: str,
+    task: str,
+    recipe: str = "task",  # task | swinir (frozen pre-restore) | swinir-pre | sr4ir
+    debug: bool = False,
+    seed: Optional[int] = None,
+):
+    """Oracle/LQ task training + SwinIR recipes for cls/seg.
+
+    Parity: ``main/{cls,seg}/train_{cls,seg,swinir,swinir-pre,swinir-sr4ir}.py``.
+    """
+    from edtr_tpu.train import recipes as R
+
+    cfg = load_config(cfg_path)
+    exp_dir, ckpt_dir, img_dir, logger, writer = prepare_environment(cfg, cfg_path, seed)
+    train_cfg = cfg["train"]
+    key = jax.random.PRNGKey(train_cfg.get("seed", 231))
+
+    net_key = {"cls": "clsnet", "seg": "segnet", "det": "detnet"}[task]
+    net = instantiate_from_config(cfg["model"][net_key], dtype=jnp.bfloat16)
+    img_size = cfg["dataset"]["train"]["params"].get("out_size", None) or \
+        cfg["dataset"]["train"]["params"].get("gt_size", 512)
+    net_params = jax.jit(net.init)(
+        {"params": key}, jnp.zeros((1, img_size, img_size, 3))
+    )["params"]
+
+    swinir = None
+    sw_params = None
+    if recipe in ("swinir", "swinir-pre", "sr4ir") and "swinir" in cfg["model"]:
+        from edtr_tpu.models.swinir import SwinIR
+
+        sw_cfg = {k: (tuple(v) if isinstance(v, list) else v)
+                  for k, v in (cfg["model"]["swinir"]["params"].to_dict()).items()}
+        swinir = SwinIR(dtype=jnp.bfloat16, **sw_cfg)
+        resume = train_cfg.get("resume_swinir", None)
+        if resume and os.path.exists(str(resume)):
+            conv_sw = lambda sd: C.convert_swinir(
+                sd, depths=tuple(swinir.depths), unshuffle=swinir.unshuffle,
+                upsampler=swinir.upsampler, sf=swinir.sf)
+            sw_params = ckpt.load_network(str(resume), converter=conv_sw)
+        else:
+            sw_params = jax.jit(swinir.init)(
+                jax.random.fold_in(key, 7), jnp.zeros((1, img_size, img_size, 3))
+            )["params"]
+
+    loss_fn, feats_fn = _task_apply_for(task, net)
+    lr = train_cfg.get("learning_rate", 1e-3)
+    steps = train_cfg.get("train_steps", 10000)
+
+    if recipe == "swinir-pre":
+        state = R.SimpleTrainState.create(sw_params, R.cosine_tx("adamw", lr, steps))
+        step_fn = R.make_swinir_pre_train_step(swinir)
+    elif recipe == "sr4ir":
+        sw_state = R.SimpleTrainState.create(
+            sw_params, R.cosine_tx("adamw", train_cfg.get("learning_rate_swinir", lr), steps))
+        t_state = R.SimpleTrainState.create(
+            net_params, R.cosine_tx("sgd", train_cfg.get("learning_rate_task", lr), steps))
+        state = (sw_state, t_state)
+        step_fn = R.make_sr4ir_train_step(
+            swinir, feats_fn, loss_fn, pix_weight=train_cfg.get("pix_weight", 255.0))
+    else:
+        pre = None
+        if recipe == "swinir":
+            pre = lambda lq: swinir.apply({"params": sw_params}, lq)
+        state = R.SimpleTrainState.create(net_params, R.cosine_tx("sgd", lr, steps))
+        step_fn = R.make_task_train_step(
+            loss_fn, pre_restore=pre,
+            use_gt=bool(cfg["dataset"].get("use_gt", False)),
+        )
+
+    dataset = instantiate_from_config(cfg["dataset"]["train"])
+    loader = make_dataloader(
+        dataset, batch_size=train_cfg.get("batch_size", 16),
+        num_workers=train_cfg.get("num_workers", 0),
+        seed=train_cfg.get("seed", 231),
+    )
+
+    max_steps = 2 if debug else steps
+    log_every = 1 if debug else train_cfg.get("log_every", 50)
+    ckpt_every = 1 if debug else train_cfg.get("ckpt_every", steps)
+    global_step = 0
+    while global_step < max_steps:
+        for batch in loader:
+            if task == "det":
+                _, _, gt_b, lq_b, annot_list, _, _ = prepare_batch(batch)
+                gt, lq = jnp.asarray(gt_b), jnp.asarray(lq_b)
+                target = {k: jnp.asarray(v) for k, v in pad_annots(annot_list).items()}
+            else:
+                gt_l, lq_l, target_l, _ = batch
+                gt = jnp.asarray(np.stack(gt_l))
+                lq = jnp.asarray(np.stack(lq_l))
+                target = jnp.asarray(np.stack(target_l))
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, dict(gt=gt, lq=lq, target=target), sub)
+            global_step += 1
+            if global_step % log_every == 0:
+                logger(f"step {global_step}: " + " ".join(
+                    f"{k}={float(v):.4f}" for k, v in metrics.items()))
+            if global_step % ckpt_every == 0:
+                if recipe == "sr4ir":
+                    ckpt.save_submodules(ckpt_dir, {
+                        "swinir": state[0].params, net_key: state[1].params}, global_step)
+                elif recipe == "swinir-pre":
+                    ckpt.save_submodules(ckpt_dir, {"swinir": state.params}, global_step)
+                else:
+                    ckpt.save_submodules(ckpt_dir, {net_key: state.params}, global_step)
+            if global_step >= max_steps:
+                break
+    logger("training done")
+    return state
+
+
+def task_eval(cfg_path: str, task: str, debug: bool = False, seed: int = 231,
+              max_images: Optional[int] = None):
+    """PSNR + top-1 / mIoU eval; parity main/{cls,seg}/test_*.py."""
+    from edtr_tpu.utils.metrics import confusion_matrix, compute_iou, topk_accuracy
+
+    cfg = load_config(cfg_path)
+    test_cfg = cfg.get("test", None) or cfg.get("val", Config())
+    net_key = {"cls": "clsnet", "seg": "segnet", "det": "detnet"}[task]
+    net = instantiate_from_config(cfg["model"][net_key], dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(seed)
+    dataset = instantiate_from_config(cfg["dataset"]["val"])
+    g0, l0 = dataset[0][0], dataset[0][1]
+    params = jax.jit(net.init)({"params": key}, jnp.zeros((1,) + g0.shape))["params"]
+    resume = test_cfg.get(f"resume_{net_key}", None)
+    if resume and os.path.exists(str(resume)):
+        params = ckpt.load_network(str(resume), template=params, strict=False)
+
+    apply = jax.jit(lambda p, x: net.apply({"params": p}, x, normalize=True))
+    n = min(len(dataset), max_images or (4 if debug else len(dataset)))
+    correct, total = 0, 0
+    mats = None
+    psnrs = []
+    for i in range(n):
+        gt, lq, target, _ = dataset[i]
+        x = jnp.asarray(lq)[None]
+        psnrs.append(float(calculate_psnr(jnp.asarray(gt)[None], x)[0]))
+        out = apply(params, x)
+        if task == "cls":
+            correct += int(topk_accuracy(out, jnp.asarray([target]))[0])
+            total += 1
+        else:
+            pred = np.asarray(out["out"].argmax(-1))[0]
+            m = confusion_matrix(pred, np.asarray(target), out["out"].shape[-1])
+            mats = m if mats is None else mats + m
+    stats = dict(psnr=float(np.mean(psnrs)))
+    if task == "cls":
+        stats["top1"] = correct / max(total, 1)
+    else:
+        _, stats["miou"] = compute_iou(mats)
+    print(stats)
+    return stats
+
+
+def edtr_eval(
+    cfg_path: str,
+    debug: bool = False,
+    seed: int = 231,
+    save_img: bool = False,
+    max_images: Optional[int] = None,
+):
+    """EDTR detection evaluation: restore -> detect -> PSNR + COCO mAP.
+
+    Parity: ``main/det/test_edtr.py:100-190``.
+    """
+    from edtr_tpu.train.edtr_step import make_edtr_sample_fn
+    from edtr_tpu.utils.coco_eval import CocoEvaluator
+    from edtr_tpu.data.coco import gt_from_dataset
+
+    cfg = load_config(cfg_path)
+    test_cfg = cfg.get("test", None) or cfg.get("val", Config())
+    pipe, params = build_edtr_models(cfg)
+    detnet = build_detnet(cfg, "detnet", dtype=jnp.bfloat16)
+    det_params = init_detnet_params(detnet, jax.random.PRNGKey(seed))
+    path = test_cfg.get("resume_detnet", None)
+    if path and os.path.exists(str(path)):
+        det_params = ckpt.load_network(str(path), template=det_params, strict=False)
+
+    dataset = instantiate_from_config(cfg["dataset"]["val"])
+    gt_index = gt_from_dataset(dataset)
+    evaluator = CocoEvaluator(gt_index)
+
+    sample_fn = make_edtr_sample_fn(pipe)
+    det_fn = jax.jit(lambda p, im: detnet.apply({"params": p}, im)[0])
+    c_txt = pipe.cldm.encode_text(params, [test_cfg.get("default_prompt", "")])
+
+    psnrs = []
+    n = min(len(dataset), max_images or (4 if debug else len(dataset)))
+    key = jax.random.PRNGKey(seed)
+    for i in range(n):
+        gt, lq, annot, _ = dataset[i]
+        h, w = gt.shape[:2]
+        from edtr_tpu.train.harness import list_to_batch
+
+        lq_b = jnp.asarray(list_to_batch([lq], 512))
+        gt_b = jnp.asarray(list_to_batch([gt], 512))
+        key, sub = jax.random.split(key)
+        restored = sample_fn(params, lq_b, c_txt, sub)
+        psnrs.append(float(calculate_psnr(restored[:, :h, :w], gt_b[:, :h, :w])[0]))
+        dets = det_fn(det_params, restored)
+        valid = np.asarray(dets["valid"][0])
+        evaluator.update({
+            annot["image_id"]: dict(
+                boxes=np.asarray(dets["boxes"][0])[valid],
+                scores=np.asarray(dets["scores"][0])[valid],
+                labels=np.asarray(dets["labels"][0])[valid],
+            )
+        })
+    evaluator.synchronize_between_processes()
+    evaluator.accumulate()
+    stats = evaluator.summarize()
+    stats["psnr"] = float(np.mean(psnrs))
+    print(f"PSNR: {stats['psnr']:.3f}  mAP: {stats['AP']:.4f}  mAP50: {stats['AP50']:.4f}")
+    return stats

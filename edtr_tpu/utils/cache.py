@@ -9,6 +9,14 @@ import os
 
 
 def enable_compilation_cache(path: str = "/root/repo/.jax_cache") -> None:
+    """Opt-in via EDTR_JAX_CACHE=1.
+
+    WARNING: on the axon TPU backend the persistent cache can stall compiles
+    of control-flow-heavy executables (observed: the detector graph hanging
+    >20 min with the cache vs 17 s without). Keep it off unless measured.
+    """
+    if os.environ.get("EDTR_JAX_CACHE", "0") != "1":
+        return
     import jax
 
     os.makedirs(path, exist_ok=True)

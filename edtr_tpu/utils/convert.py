@@ -315,6 +315,9 @@ def convert_vae_encoder(
     ch: int = 128, ch_mult: Sequence[int] = (1, 2, 4, 4), num_res_blocks: int = 2,
 ) -> Params:
     """Parity: ``Encoder`` (``model/vae.py:326-446``)."""
+    if prefix == "":
+        sd = {f"x.{k}": v for k, v in sd.items()}
+        prefix = "x"
     p = prefix
     P: Params = {
         "conv_in": conv(sd, f"{p}.conv_in"),
@@ -345,6 +348,9 @@ def convert_vae_decoder(
     ch: int = 128, ch_mult: Sequence[int] = (1, 2, 4, 4), num_res_blocks: int = 2,
 ) -> Params:
     """Parity: ``Decoder`` (``model/vae.py:449-560``)."""
+    if prefix == "":
+        sd = {f"x.{k}": v for k, v in sd.items()}
+        prefix = "x"
     p = prefix
     P: Params = {
         "conv_in": conv(sd, f"{p}.conv_in"),

@@ -1,0 +1,25 @@
+#!/usr/bin/env python
+"""Evaluate the plain cls task network (PSNR + task metric).
+
+Parity: reference ``main/cls/test_cls.py`` (see SURVEY.md §2.6).
+"""
+import argparse
+
+from edtr_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+
+    args = p.parse_args()
+    from edtr_tpu.train.runner import task_eval
+    task_eval(args.config, task="cls", debug=args.debug, seed=args.seed or 231)
+
+
+if __name__ == "__main__":
+    main()

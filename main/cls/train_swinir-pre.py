@@ -1,0 +1,25 @@
+#!/usr/bin/env python
+"""Train SwinIR pre-restoration (L1*255).
+
+Parity: reference ``main/cls/train_swinir-pre.py`` (see SURVEY.md §2.6).
+"""
+import argparse
+
+from edtr_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+
+    args = p.parse_args()
+    from edtr_tpu.train.runner import task_train
+    task_train(args.config, task="cls", recipe="swinir-pre", debug=args.debug, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

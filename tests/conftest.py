@@ -1,15 +1,21 @@
 """Test env: force CPU platform with 8 virtual devices so multi-chip sharding
-paths (mesh/pjit/shard_map) are exercised without TPU hardware.
+paths (mesh/pjit/shard_map) run without TPU hardware.
 
-Must run before the first `import jax` anywhere in the test process.
+NOTE: this machine's sitecustomize force-registers the `axon` TPU platform
+ahead of JAX_PLATFORMS, so the env var alone is NOT enough — we also update
+jax.config before any backend use.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
