@@ -105,7 +105,10 @@ class EDTRTrainState:
             optax.sgd(sched_d, momentum=0.9),
         )
         trainable, _ = split_trainable(params, train_decoder)
-        det_params = params.get("detnet", {})
+        # detnet entries are FULL flax variables dicts ({"params", ...});
+        # only the "params" collection is optimized
+        det_vars = params.get("detnet", {})
+        det_params = det_vars.get("params", det_vars) if det_vars else {}
         return cls(
             params=params,
             opt_edtr_state=tx_edtr.init(trainable),
@@ -140,8 +143,8 @@ def make_edtr_train_step(
     diffusion = pipe.diffusion
     used_ts = jnp.asarray(pipe.used_timesteps, jnp.int32)
 
-    def det_feats(det_params, images):
-        _, _, feats = detnet.apply({"params": det_params}, images)
+    def det_feats(det_vars, images):
+        _, _, feats = detnet.apply(det_vars, images)
         return feats["features"]
 
     def edtr_loss(trainable, frozen, batch, shared, rng):
@@ -183,8 +186,9 @@ def make_edtr_train_step(
 
         images = jnp.concatenate([res, gt[bs2:]], axis=0)
         targets = batch["targets"]
+        det_extra = {k: v for k, v in params["detnet"].items() if k != "params"}
         _, losses, feats = detnet.apply(
-            {"params": det_params}, images, targets=targets,
+            {"params": det_params, **det_extra}, images, targets=targets,
             rngs={"sampler": rng_smp},
         )
         loss_det = weight_det * sum(losses.values())
@@ -215,7 +219,7 @@ def make_edtr_train_step(
 
         new_opt_d = state.opt_detnet_state
         if detnet is not None:
-            det_params = params["detnet"]
+            det_params = params["detnet"]["params"]
             (loss_d, m_d), dgrads = jax.value_and_grad(detnet_loss, has_aux=True)(
                 det_params, params, batch, shared, r_det
             )
@@ -223,7 +227,10 @@ def make_edtr_train_step(
                 dgrads, state.opt_detnet_state, det_params
             )
             params = dict(params)
-            params["detnet"] = optax.apply_updates(det_params, dupdates)
+            params["detnet"] = {
+                **params["detnet"],
+                "params": optax.apply_updates(det_params, dupdates),
+            }
             metrics.update(m_d)
 
         return (

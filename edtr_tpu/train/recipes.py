@@ -49,21 +49,35 @@ def seg_cross_entropy(
 
 @struct.dataclass
 class SimpleTrainState:
+    """Params + optimizer + non-trainable collections (e.g. batch_stats)."""
+
     params: Params
     opt_state: Any
     step: jnp.ndarray
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    extra_vars: Optional[Dict[str, Any]] = None
 
     @classmethod
-    def create(cls, params, tx):
-        return cls(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32), tx=tx)
+    def create(cls, variables, tx):
+        if "params" in variables:
+            params = variables["params"]
+            extra = {k: v for k, v in variables.items() if k != "params"} or None
+        else:
+            params, extra = variables, None
+        return cls(params=params, opt_state=tx.init(params),
+                   step=jnp.zeros((), jnp.int32), tx=tx, extra_vars=extra)
 
-    def apply_gradients(self, grads):
+    @property
+    def variables(self) -> Dict[str, Any]:
+        return {"params": self.params, **(self.extra_vars or {})}
+
+    def apply_gradients(self, grads, new_extra: Optional[Dict] = None):
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
         return self.replace(
             params=optax.apply_updates(self.params, updates),
             opt_state=new_opt,
             step=self.step + 1,
+            extra_vars=new_extra if new_extra is not None else self.extra_vars,
         )
 
 
@@ -79,15 +93,16 @@ def cosine_tx(kind: str, lr: float, steps: int, eta_min: float = 1e-7):
 # -- task-net training (oracle / LQ / frozen-swinir input) -----------------------
 
 def make_task_train_step(
-    task_apply: Callable[[Params, jnp.ndarray, Any, jax.Array], Tuple[jnp.ndarray, Dict]],
+    task_apply: Callable,
     pre_restore: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     use_gt: bool = False,
     jit: bool = True,
 ):
     """Generic task-net update.
 
-    ``task_apply(params, images, labels_or_targets, rng) -> (loss, metrics)``
-    encapsulates the per-task loss; ``pre_restore`` (frozen) implements the
+    ``task_apply(params, extra_vars, images, target, rng) ->
+    (loss, (metrics, new_extra_vars))`` encapsulates the per-task loss and
+    BatchNorm-stat updates; ``pre_restore`` (frozen) implements the
     train_swinir recipe; ``use_gt`` the oracle recipe.
     """
 
@@ -97,12 +112,14 @@ def make_task_train_step(
             inp = jax.lax.stop_gradient(pre_restore(inp))
 
         def loss_fn(p):
-            return task_apply(p, inp, batch["target"], rng)
+            return task_apply(p, state.extra_vars, inp, batch["target"], rng)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (metrics, new_extra)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         metrics = dict(metrics)
         metrics["loss"] = loss
-        return state.apply_gradients(grads), metrics
+        return state.apply_gradients(grads, new_extra), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,)) if jit else step_fn
 
@@ -149,8 +166,10 @@ def make_sr4ir_train_step(
         def sw_loss(p):
             res = swinir.apply({"params": p}, lq)
             pix = jnp.abs(res - gt).mean() * pix_weight
-            f_gt = jax.lax.stop_gradient(task_apply_feats(task_state.params, gt))
-            f_res = task_apply_feats(task_state.params, res)
+            f_gt = jax.lax.stop_gradient(
+                task_apply_feats(task_state.params, task_state.extra_vars, gt)
+            )
+            f_res = task_apply_feats(task_state.params, task_state.extra_vars, res)
             tdp = jnp.abs(f_res - f_gt).mean()
             return pix + tdp, dict(swinir_pix=pix, swinir_tdp=tdp)
 
@@ -170,10 +189,12 @@ def make_sr4ir_train_step(
         tgt_cat = jax.tree.map(lambda t: jnp.concatenate([t] * 3, axis=0), tgt)
 
         def task_loss(p):
-            return task_apply_loss(p, img_cat, tgt_cat, r_task)
+            return task_apply_loss(p, task_state.extra_vars, img_cat, tgt_cat, r_task)
 
-        (t_l, t_m), t_g = jax.value_and_grad(task_loss, has_aux=True)(task_state.params)
-        task_state = task_state.apply_gradients(t_g)
+        (t_l, (t_m, new_extra)), t_g = jax.value_and_grad(task_loss, has_aux=True)(
+            task_state.params
+        )
+        task_state = task_state.apply_gradients(t_g, new_extra)
         metrics = {**sw_m, **t_m, "task_loss": t_l}
         return (sw_state, task_state), metrics
 
@@ -242,17 +263,25 @@ def make_diffbir_train_step(
         )
         images = jnp.concatenate([res, gt[bs2:]], axis=0)
 
+        # teacher_params: full variables dict {"params": ..., [collections]}
+        t_p = teacher_params.get("params", teacher_params)
+        t_extra = {k: v for k, v in teacher_params.items() if k != "params"} or None
+
         def t_loss(p):
-            loss_ce, metrics = task_apply_loss(p, images, batch["target"], r_task)
-            f_s = task_apply_feats(p, images)
-            f_t = jax.lax.stop_gradient(task_apply_feats(teacher_params, gt))
+            loss_ce, (metrics, new_extra) = task_apply_loss(
+                p, task_state.extra_vars, images, batch["target"], r_task
+            )
+            f_s = task_apply_feats(p, task_state.extra_vars, images)
+            f_t = jax.lax.stop_gradient(task_apply_feats(t_p, t_extra, gt))
             loss_fm = weight_fm * jnp.abs(f_s - f_t).mean()
-            return weight_ce * loss_ce + loss_fm, dict(
-                metrics, loss_ce=loss_ce, loss_fm=loss_fm
+            return weight_ce * loss_ce + loss_fm, (
+                dict(metrics, loss_ce=loss_ce, loss_fm=loss_fm), new_extra
             )
 
-        (tl, tm), tg = jax.value_and_grad(t_loss, has_aux=True)(task_state.params)
-        task_state = task_state.apply_gradients(tg)
+        (tl, (tm, new_extra)), tg = jax.value_and_grad(t_loss, has_aux=True)(
+            task_state.params
+        )
+        task_state = task_state.apply_gradients(tg, new_extra)
         return (cldm_state, task_state, teacher_params), dict(loss_eps=loss_eps, **tm)
 
     return jax.jit(step_fn) if jit else step_fn

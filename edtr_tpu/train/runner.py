@@ -75,9 +75,10 @@ def build_detnet(cfg: Config, key: str, dtype=None):
 
 
 def init_detnet_params(det, rng, image_size=512):
+    """Full flax variables dict ({"params", "batch_stats", ...})."""
     return jax.jit(det.init)(
         {"params": rng}, jnp.zeros((1, image_size, image_size, 3))
-    )["params"]
+    )
 
 
 def edtr_train(cfg_path: str, debug: bool = False, seed: Optional[int] = None):
@@ -188,42 +189,56 @@ def edtr_train(cfg_path: str, debug: bool = False, seed: Optional[int] = None):
 
 
 def _task_apply_for(task: str, net):
-    """(loss_fn, feats_fn, eval_fn) triple for cls/seg task nets."""
+    """(loss_fn, feats_fn) for cls/seg/det task nets.
+
+    ``loss_fn(params, extra_vars, images, target, rng) ->
+    (loss, (metrics, new_extra_vars))`` — BatchNorm running stats live in
+    ``extra_vars`` and update during training (torch train()-mode parity);
+    ``feats_fn(params, extra_vars, images)`` returns the feature used by
+    TDP/feature-matching losses.
+    """
     from edtr_tpu.train.recipes import cross_entropy, seg_cross_entropy
 
-    if task == "cls":
-        def loss_fn(p, images, labels, rng):
-            logits = net.apply({"params": p}, images, normalize=True, train=False)
-            return cross_entropy(logits, labels), {}
-
-        def feats_fn(p, images):
-            _, feat = net.apply(
-                {"params": p}, images, normalize=True, return_feat=True
+    def _run(p, extra, images, train, **kwargs):
+        variables = {"params": p, **(extra or {})}
+        if train and extra:
+            out, ups = net.apply(
+                variables, images, train=True, mutable=list(extra.keys()), **kwargs
             )
-            return feat
+            return out, dict(ups)
+        return net.apply(variables, images, **kwargs), extra
+
+    if task == "cls":
+        def loss_fn(p, extra, images, labels, rng):
+            logits, new_extra = _run(p, extra, images, True, normalize=True)
+            return cross_entropy(logits, labels), ({}, new_extra)
+
+        def feats_fn(p, extra, images):
+            out, _ = _run(p, extra, images, False, normalize=True, return_feat=True)
+            return out[1]
 
         return loss_fn, feats_fn
     if task == "seg":
-        def loss_fn(p, images, masks, rng):
-            out = net.apply({"params": p}, images, normalize=True, train=False)
-            return seg_cross_entropy(out["out"], masks), {}
+        def loss_fn(p, extra, images, masks, rng):
+            out, new_extra = _run(p, extra, images, True, normalize=True)
+            return seg_cross_entropy(out["out"], masks), ({}, new_extra)
 
-        def feats_fn(p, images):
-            _, feats = net.apply(
-                {"params": p}, images, normalize=True, return_feat=True
-            )
-            return feats["C5"]
+        def feats_fn(p, extra, images):
+            out, _ = _run(p, extra, images, False, normalize=True, return_feat=True)
+            return out[1]["C5"]
 
         return loss_fn, feats_fn
     if task == "det":
-        def loss_fn(p, images, targets, rng):
+        def loss_fn(p, extra, images, targets, rng):
+            variables = {"params": p, **(extra or {})}
             _, losses, _ = net.apply(
-                {"params": p}, images, targets=targets, rngs={"sampler": rng}
+                variables, images, targets=targets, rngs={"sampler": rng}
             )
-            return sum(losses.values()), losses
+            return sum(losses.values()), (losses, extra)
 
-        def feats_fn(p, images):
-            _, _, feats = net.apply({"params": p}, images)
+        def feats_fn(p, extra, images):
+            variables = {"params": p, **(extra or {})}
+            _, _, feats = net.apply(variables, images)
             return feats["features"]["0"]
 
         return loss_fn, feats_fn
@@ -254,7 +269,7 @@ def task_train(
         cfg["dataset"]["train"]["params"].get("gt_size", 512)
     net_params = jax.jit(net.init)(
         {"params": key}, jnp.zeros((1, img_size, img_size, 3))
-    )["params"]
+    )  # full variables (params + batch_stats)
 
     swinir = None
     sw_params = None
@@ -354,12 +369,12 @@ def task_eval(cfg_path: str, task: str, debug: bool = False, seed: int = 231,
     key = jax.random.PRNGKey(seed)
     dataset = instantiate_from_config(cfg["dataset"]["val"])
     g0, l0 = dataset[0][0], dataset[0][1]
-    params = jax.jit(net.init)({"params": key}, jnp.zeros((1,) + g0.shape))["params"]
+    params = jax.jit(net.init)({"params": key}, jnp.zeros((1,) + g0.shape))
     resume = test_cfg.get(f"resume_{net_key}", None)
     if resume and os.path.exists(str(resume)):
         params = ckpt.load_network(str(resume), template=params, strict=False)
 
-    apply = jax.jit(lambda p, x: net.apply({"params": p}, x, normalize=True))
+    apply = jax.jit(lambda p, x: net.apply(p, x, normalize=True))
     n = min(len(dataset), max_images or (4 if debug else len(dataset)))
     correct, total = 0, 0
     mats = None
@@ -414,7 +429,7 @@ def edtr_eval(
     evaluator = CocoEvaluator(gt_index)
 
     sample_fn = make_edtr_sample_fn(pipe)
-    det_fn = jax.jit(lambda p, im: detnet.apply({"params": p}, im)[0])
+    det_fn = jax.jit(lambda p, im: detnet.apply(p, im)[0])
     c_txt = pipe.cldm.encode_text(params, [test_cfg.get("default_prompt", "")])
 
     psnrs = []

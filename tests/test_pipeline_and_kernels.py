@@ -1,0 +1,194 @@
+"""End-to-end slices: flash kernel numerics, DiffJPEG golden, train steps,
+RealESRGAN transform, tiny EDTR pipeline restore."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_flash_attention_matches_xla_interpret():
+    from edtr_tpu.ops.attention import _xla_attention
+    from edtr_tpu.ops.flash_attention import flash_attention
+
+    g = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(g, 3)
+    q = jax.random.normal(k1, (1, 2048, 2, 64), jnp.float32)
+    k = jax.random.normal(k2, (1, 2048, 2, 64), jnp.float32)
+    v = jax.random.normal(k3, (1, 2048, 2, 64), jnp.float32)
+    scale = 64 ** -0.5
+    o_flash = flash_attention(q, k, v, scale)
+    o_xla = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(
+        np.asarray(o_flash), np.asarray(o_xla), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_flash_attention_gradients():
+    from edtr_tpu.ops.attention import _xla_attention
+    from edtr_tpu.ops.flash_attention import flash_attention
+
+    g = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(g, 3)
+    q = jax.random.normal(k1, (1, 2048, 1, 64), jnp.float32)
+    k = jax.random.normal(k2, (1, 2048, 1, 64), jnp.float32)
+    v = jax.random.normal(k3, (1, 2048, 1, 64), jnp.float32)
+    scale = 64 ** -0.5
+    gf = jax.grad(lambda q_: flash_attention(q_, k, v, scale).sum())(q)
+    gx = jax.grad(lambda q_: _xla_attention(q_, k, v, scale).sum())(q)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=2e-3, atol=2e-3)
+
+
+def test_diffjpeg_golden_vs_reference():
+    import torch
+
+    from ref_loader import load_ref_module
+    from edtr_tpu.data.diffjpeg import diff_jpeg
+
+    ref = load_ref_module("datasets.diffjpeg")
+    g = np.random.default_rng(0)
+    x = g.random((2, 40, 56, 3)).astype(np.float32)
+    q = np.array([35.0, 80.0], np.float32)
+    m = ref.DiffJPEG(differentiable=False).eval()
+    with torch.no_grad():
+        ref_out = m(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            quality=torch.from_numpy(q.copy()),
+        ).numpy()
+    ours = np.asarray(diff_jpeg(jnp.asarray(x), jnp.asarray(q)))
+    d = np.abs(ours.transpose(0, 3, 1, 2) - ref_out)
+    # hard-rounding flips single DCT coefficients at fp tie-breaks; the
+    # mean error bound is the meaningful one for a degradation op
+    assert d.mean() < 0.02, d.mean()
+
+
+def test_diffjpeg_differentiable_close():
+    from edtr_tpu.data.diffjpeg import diff_jpeg
+
+    g = np.random.default_rng(1)
+    x = jnp.asarray(g.random((1, 32, 32, 3)), jnp.float32)
+    out = diff_jpeg(x, 90.0, differentiable=True)
+    assert out.shape == x.shape
+    # gradient flows through the soft rounding
+    grad = jax.grad(lambda v: diff_jpeg(v, 90.0, differentiable=True).sum())(x)
+    assert np.isfinite(np.asarray(grad)).all()
+
+
+def _tiny_pipe():
+    import __graft_entry__ as G
+
+    return G._flagship_pipeline(dtype=None, tiny=True)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    import __graft_entry__ as G
+
+    pipe = _tiny_pipe()
+    params = G._init_params(pipe, jax.random.PRNGKey(0), 64)
+    return pipe, params
+
+
+def test_edtr_restore_shapes(tiny_setup):
+    pipe, params = tiny_setup
+    lq = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    c_txt = jnp.zeros((1, pipe.cldm.clip.context_length, pipe.cldm.clip.width))
+    out = pipe.restore(params, lq, jax.random.PRNGKey(0), c_txt=c_txt)
+    assert out["restored"].shape == (1, 64, 64, 3)
+    assert out["z"].shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(out["restored"])).all()
+
+
+def test_edtr_train_step_updates_trainable_only(tiny_setup):
+    from edtr_tpu.train.edtr_step import EDTRTrainState, make_edtr_train_step
+
+    pipe, params0 = tiny_setup
+    # step donates its state; work on copies so the fixture stays alive
+    params = jax.tree.map(jnp.copy, params0)
+    # at random init the UNet's zero-init out_conv blocks every gradient
+    # (eps is constant); give it weight like a loaded SD checkpoint would
+    params["unet"]["out_conv"]["kernel"] = (
+        jax.random.normal(jax.random.PRNGKey(9),
+                          params["unet"]["out_conv"]["kernel"].shape) * 0.05
+    )
+    ref_params = jax.tree.map(jnp.copy, params)
+    state = EDTRTrainState.create(pipe, params)
+    step = make_edtr_train_step(pipe)
+    batch = dict(
+        lq=jnp.ones((2, 64, 64, 3)) * 0.25,
+        gt=jnp.ones((2, 64, 64, 3)) * 0.5,
+        c_txt=jnp.zeros((2, pipe.cldm.clip.context_length, pipe.cldm.clip.width)),
+    )
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss_hlf"]))
+    # ControlNet moved, UNet frozen
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        ref_params["controlnet"], new_state.params["controlnet"],
+    )
+    assert max(jax.tree.leaves(moved)) > 0
+    frozen = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        ref_params["unet"], new_state.params["unet"],
+    )
+    assert max(jax.tree.leaves(frozen)) == 0
+
+
+def test_task_train_step_cls():
+    from edtr_tpu.models.resnet import ResNet
+    from edtr_tpu.train.recipes import (
+        SimpleTrainState,
+        cosine_tx,
+        cross_entropy,
+        make_task_train_step,
+    )
+
+    net = ResNet(type=18, num_classes=10)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+
+    def loss_fn(p, extra, images, labels, rng):
+        out, ups = net.apply(
+            {"params": p, **extra}, images, normalize=True, train=True,
+            mutable=["batch_stats"],
+        )
+        return cross_entropy(out, labels), ({}, dict(ups))
+
+    state = SimpleTrainState.create(variables, cosine_tx("sgd", 0.1, 100))
+    step = make_task_train_step(loss_fn)
+    batch = dict(
+        gt=jnp.ones((2, 32, 32, 3)) * 0.5,
+        lq=jnp.ones((2, 32, 32, 3)) * 0.2,
+        target=jnp.asarray([1, 2], jnp.int32),
+    )
+    s2, m = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    assert int(s2.step) == 1
+
+
+def test_seg_cross_entropy_ignores_255():
+    from edtr_tpu.train.recipes import seg_cross_entropy
+
+    logits = jnp.zeros((1, 4, 4, 3))
+    mask = jnp.full((1, 4, 4), 255, jnp.int32)
+    mask = mask.at[0, 0, 0].set(1)
+    loss = seg_cross_entropy(logits, mask)
+    np.testing.assert_allclose(float(loss), np.log(3), rtol=1e-5)
+
+
+def test_realesrgan_transform_smoke():
+    from edtr_tpu.data.realesrgan import RealESRGANBatchTransform
+
+    t = RealESRGANBatchTransform(queue_size=0, stage2_scale=4, seed=3)
+    g = np.random.default_rng(0)
+    batch = dict(
+        hq=g.random((2, 64, 64, 3)).astype(np.float32),
+        kernel1=np.eye(21, dtype=np.float32)[None].repeat(2, 0) / 21,
+        kernel2=np.eye(21, dtype=np.float32)[None].repeat(2, 0) / 21,
+        sinc_kernel=np.eye(21, dtype=np.float32)[None].repeat(2, 0) / 21,
+    )
+    out = t(batch)
+    assert out["GT"].shape == (2, 64, 64, 3)
+    assert out["LQ"].shape == (2, 64, 64, 3)
+    lq = np.asarray(out["LQ"])
+    assert np.isfinite(lq).all() and 0 <= lq.min() and lq.max() <= 1
