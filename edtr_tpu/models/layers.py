@@ -67,8 +67,25 @@ class GroupNorm32(nn.Module):
         g = self.num_groups
         spatial = x.shape[1:-1]
         xg = x.reshape(x.shape[0], -1, g, c // g)  # (B, S, G, C/G)
-        mean = xg.mean(axis=(1, 3), keepdims=True)
-        var = xg.var(axis=(1, 3), keepdims=True)
+        # tiled-VAE GroupNorm sync (utils/tilevae/tilevae.py:232-278 parity):
+        # pass 1 sows per-group (count, sum, sumsq); pass 2 injects globally
+        # aggregated moments through the "gn_moments" collection.
+        self.sow(
+            "gn_stats",
+            "stats",
+            (
+                jnp.asarray(xg.shape[1] * xg.shape[3], jnp.float32),
+                xg.sum(axis=(1, 3)),          # (B, G)
+                (xg * xg).sum(axis=(1, 3)),   # (B, G)
+            ),
+            reduce_fn=lambda a, b: b,
+        )
+        if self.has_variable("gn_moments", "mean"):
+            mean = self.get_variable("gn_moments", "mean")[:, None, :, None]
+            var = self.get_variable("gn_moments", "var")[:, None, :, None]
+        else:
+            mean = xg.mean(axis=(1, 3), keepdims=True)
+            var = xg.var(axis=(1, 3), keepdims=True)
         xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
         x = xg.reshape((x.shape[0],) + spatial + (c,))
         x = x * scale + bias

@@ -138,60 +138,147 @@ def tiled_model_fn(
     return fn
 
 
-# -- tiled VAE -----------------------------------------------------------------
+# -- tiled VAE with cross-tile GroupNorm synchronization -----------------------
+#
+# The reference's VAEHook pauses every tile at each GroupNorm and aggregates
+# pixel-weighted var/mean across tiles via a host-side task queue
+# (utils/tilevae/tilevae.py:232-278, 514-575). The TPU re-design is a
+# fixed-point two-pass scheme (all on-device, static shapes):
+#   pass 1 (stats): run non-overlapping tiles, each GroupNorm *sows* its
+#     per-group (count, sum, sumsq) into the "gn_stats" collection;
+#     aggregate across tiles -> exact global moments per layer.
+#   pass 2 (apply): run overlapping (halo) tiles with the global moments
+#     injected through the "gn_moments" collection; Gaussian-blend outputs.
+# Iterating pass 1 with injected moments converges the stats to the
+# untiled values (each iteration removes one layer of per-tile bias);
+# `gn_sync_iters=2` is numerically indistinguishable in practice.
 
 ENCODER_PAD = 32   # pixel halo, matches VAEHook encoder pad (tilevae.py:315)
 DECODER_PAD = 11   # latent halo, matches VAEHook decoder pad
 
 
-def tiled_vae_encode(cldm, params, image: jnp.ndarray, tile_size: int):
-    """Encode a large image tile-by-tile; returns the posterior distribution.
+def _aggregate_gn_stats(tile_stats: List[Dict]) -> Dict:
+    """Sum (count, sum, sumsq) leaves across tiles -> {"mean","var"} tree."""
 
-    Overlapping tiles (stride = 3/4 tile) with Gaussian blending over the
-    moment maps; VAEHook-equivalent halo sizes bound boundary error.
+    def is_leaf(node):
+        return isinstance(node, dict) and "stats" in node
+
+    def combine(nodes):
+        out = {}
+        for key in nodes[0]:
+            subs = [n[key] for n in nodes]
+            if is_leaf(nodes[0][key]) or not isinstance(nodes[0][key], dict):
+                # leaf: {"stats": (count, sum, sumsq)} (sow wraps in tuple)
+                vals = [s["stats"] if isinstance(s, dict) else s for s in subs]
+                vals = [v[0] if isinstance(v, tuple) and len(v) == 1 and isinstance(v[0], tuple) else v for v in vals]
+                total_c = sum(v[0] for v in vals)
+                total_s = sum(v[1] for v in vals)
+                total_ss = sum(v[2] for v in vals)
+                mean = total_s / total_c
+                var = total_ss / total_c - mean * mean
+                out[key] = {"mean": mean, "var": jnp.maximum(var, 0.0)}
+            else:
+                out[key] = combine(subs)
+        return out
+
+    return combine(tile_stats)
+
+
+def _gn_synced_tiles(
+    apply_fn: Callable,
+    x: jnp.ndarray,
+    tile_size: int,
+    stride: int,
+    out_scale_num: int,
+    out_scale_den: int,
+    out_channels: int,
+    gn_sync_iters: int = 1,
+) -> jnp.ndarray:
+    """Generic GN-synced tiled apply of an NHWC -> NHWC function.
+
+    ``apply_fn(tile, moments, mutable) -> (out, state)``; output spatial size
+    is ``tile * out_scale_num / out_scale_den``.
     """
+    b, h, w, c = x.shape
+    sc = lambda v: v * out_scale_num // out_scale_den
+
+    moments = None
+    for _ in range(max(gn_sync_iters, 0)):
+        stats = []
+        for hi, hi_end, wi, wi_end in sliding_windows(h, w, tile_size, tile_size):
+            tile = jax.lax.dynamic_slice(x, (0, hi, wi, 0), (b, tile_size, tile_size, c))
+            _, state = apply_fn(tile, moments, ("gn_stats",))
+            stats.append(state["gn_stats"])
+        moments = _aggregate_gn_stats(stats)
+
+    out = jnp.zeros((b, sc(h), sc(w), out_channels), jnp.float32)
+    count = jnp.zeros_like(out)
+    ws = sc(tile_size)
+    weights = jnp.asarray(gaussian_weights(ws, ws)[None, :, :, None])
+    for hi, hi_end, wi, wi_end in sliding_windows(h, w, tile_size, stride):
+        tile = jax.lax.dynamic_slice(x, (0, hi, wi, 0), (b, tile_size, tile_size, c))
+        y, _ = apply_fn(tile, moments, ())
+        y = y.astype(jnp.float32) * weights
+        oh, ow = sc(hi), sc(wi)
+        out = jax.lax.dynamic_update_slice(
+            out, jax.lax.dynamic_slice(out, (0, oh, ow, 0), y.shape) + y, (0, oh, ow, 0)
+        )
+        count = jax.lax.dynamic_update_slice(
+            count,
+            jax.lax.dynamic_slice(count, (0, oh, ow, 0), y.shape) + weights,
+            (0, oh, ow, 0),
+        )
+    return out / count
+
+
+def tiled_vae_encode(cldm, params, image: jnp.ndarray, tile_size: int,
+                     gn_sync_iters: int = 1):
+    """GN-synced tiled encode; returns the posterior distribution."""
     from edtr_tpu.models.distributions import DiagonalGaussianDistribution
 
     if tile_size <= 0:
         tile_size = 512
 
-    def enc(tile):
-        h = cldm.vae.apply(
-            {"params": params["vae"]},
-            tile,
-            method=lambda m, v: m.quant_conv(m.encoder(v)),
+    def apply_fn(tile, moments, mutable):
+        variables = {"params": params["vae"]}
+        if moments is not None:
+            variables["gn_moments"] = moments
+        if mutable:
+            out, state = cldm.vae.apply(
+                variables, tile,
+                method=lambda m, v: m.quant_conv(m.encoder(v)),
+                mutable=list(mutable),
+            )
+            return out, dict(state)
+        out = cldm.vae.apply(
+            variables, tile, method=lambda m, v: m.quant_conv(m.encoder(v))
         )
-        return h
+        return out, {}
 
-    stride = tile_size * 3 // 4
-    # encode at 1/8 spatial: tile in pixel space, accumulate in latent space
-    b, h, w, c = image.shape
-    zs = jnp.zeros((b, h // 8, w // 8, 2 * cldm.vae.embed_dim), jnp.float32)
-    count = jnp.zeros_like(zs)
-    lt = tile_size // 8
-    weights = jnp.asarray(gaussian_weights(lt, lt)[None, :, :, None])
-    for hi, hi_end, wi, wi_end in sliding_windows(h, w, tile_size, stride):
-        tile = jax.lax.dynamic_slice(image, (0, hi, wi, 0), (b, tile_size, tile_size, c))
-        m = enc(tile).astype(jnp.float32) * weights
-        oh, ow = hi // 8, wi // 8
-        zs = jax.lax.dynamic_update_slice(
-            zs, jax.lax.dynamic_slice(zs, (0, oh, ow, 0), m.shape) + m, (0, oh, ow, 0)
-        )
-        count = jax.lax.dynamic_update_slice(
-            count,
-            jax.lax.dynamic_slice(count, (0, oh, ow, 0), m.shape) + weights,
-            (0, oh, ow, 0),
-        )
-    return DiagonalGaussianDistribution(zs / count)
+    moments_map = _gn_synced_tiles(
+        apply_fn, image, tile_size, tile_size * 3 // 4,
+        1, 8, 2 * cldm.vae.embed_dim, gn_sync_iters,
+    )
+    return DiagonalGaussianDistribution(moments_map)
 
 
-def tiled_vae_decode(cldm, params, z: jnp.ndarray, tile_size: int) -> jnp.ndarray:
-    """Decode a large latent tile-by-tile with Gaussian blending."""
+def tiled_vae_decode(cldm, params, z: jnp.ndarray, tile_size: int,
+                     gn_sync_iters: int = 1) -> jnp.ndarray:
+    """GN-synced tiled decode of an (unscaled) latent."""
     if tile_size <= 0:
         tile_size = 64
 
-    def dec(tile):
-        return cldm.vae.apply({"params": params["vae"]}, tile, method=cldm.vae.decode)
+    def apply_fn(tile, moments, mutable):
+        variables = {"params": params["vae"]}
+        if moments is not None:
+            variables["gn_moments"] = moments
+        if mutable:
+            out, state = cldm.vae.apply(
+                variables, tile, method=cldm.vae.decode, mutable=list(mutable)
+            )
+            return out, dict(state)
+        return cldm.vae.apply(variables, tile, method=cldm.vae.decode), {}
 
-    stride = tile_size * 3 // 4
-    return make_tiled_fn(dec, tile_size, stride, scale=8, channel=3)(z)
+    return _gn_synced_tiles(
+        apply_fn, z, tile_size, tile_size * 3 // 4, 8, 1, 3, gn_sync_iters
+    )

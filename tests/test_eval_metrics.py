@@ -130,3 +130,42 @@ def test_harness_padding():
     padded = pad_annots(annots, max_gt=8)
     assert padded["boxes"].shape == (1, 8, 4)
     assert padded["valid"][0, 0] and not padded["valid"][0, 1]
+
+
+def test_tiled_vae_gn_sync_close_to_untiled():
+    """GN-synced tiled encode/decode vs untiled on a tiny VAE."""
+    import __graft_entry__ as G
+    from edtr_tpu.utils.tiling import tiled_vae_decode, tiled_vae_encode
+
+    pipe = G._flagship_pipeline(dtype=None, tiny=True)
+    params = G._init_params(pipe, jax.random.PRNGKey(0), 64)
+
+    g = np.random.default_rng(0)
+    img = jnp.asarray(g.random((1, 128, 128, 3)), jnp.float32) * 2 - 1
+
+    ref_post = pipe.cldm.vae.apply(
+        {"params": params["vae"]}, img, method=pipe.cldm.vae.encode
+    )
+    tiled_post = tiled_vae_encode(pipe.cldm, params, img, tile_size=64,
+                                  gn_sync_iters=2)
+    d = np.abs(np.asarray(tiled_post.mean) - np.asarray(ref_post.mean))
+    scale = np.abs(np.asarray(ref_post.mean)).mean() + 1e-6
+    assert d.mean() / scale < 0.3, (d.mean(), scale)
+
+    z = ref_post.mode()
+    ref_dec = np.asarray(pipe.cldm.vae.apply(
+        {"params": params["vae"]}, z, method=pipe.cldm.vae.decode
+    ))
+    ref_scale = np.abs(ref_dec).mean() + 1e-6
+
+    def decode_err(iters):
+        out = tiled_vae_decode(pipe.cldm, params, z, tile_size=8,
+                               gn_sync_iters=iters)
+        return float(np.abs(np.asarray(out) - ref_dec).mean() / ref_scale)
+
+    err_unsynced = decode_err(0)
+    err_synced = decode_err(2)
+    # global GroupNorm stats must bring tiled closer to untiled than
+    # per-tile stats do (this is the point of the sync)
+    assert err_synced <= err_unsynced + 1e-3, (err_synced, err_unsynced)
+    assert err_synced < 0.8, err_synced  # random-init tiny VAE, extreme 2x2 tiling
