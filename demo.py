@@ -17,6 +17,11 @@ from __future__ import annotations
 
 import math
 import os
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), ".")))
+
 from argparse import ArgumentParser
 
 import numpy as np
@@ -121,7 +126,7 @@ def main(args):
         res = wavelet_reconstruction(decoded, pre_res)
 
         # detection: resize | tile | direct (demo.py:129-160)
-        det_fn = lambda im: detnet.apply({"params": det_params}, im)[0]
+        det_fn = lambda im: detnet.apply(det_params, im)[0]  # full variables dict
         if args.detection_type == "resize":
             s = 512 / max(res.shape[1:3])
             rh, rw = int(res.shape[1] * s), int(res.shape[2] * s)

@@ -253,6 +253,123 @@ def make_edtr_train_step(
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def make_edtr_generic_train_step(
+    pipe,
+    task_feats_fn: Callable,
+    task_loss_fn: Callable,
+    weight_hlf: float = 0.5,
+    weight_task: float = 1.0,
+    weight_fm: float = 0.2,
+    jit: bool = True,
+):
+    """EDTR two-half step for cls/seg task nets.
+
+    Parity: ``main/cls/train_edtr.py:160-218`` (seg is identical modulo the
+    task loss): HLF = weight_hlf * [L1(student feats res/gt) + L1(teacher
+    feats res/gt)]; task half = task loss on [restored ; GT-half] + teacher
+    feature matching.
+
+    ``task_feats_fn(params, extra_vars, images) -> feature`` and
+    ``task_loss_fn(params, extra_vars, images, target, rng) ->
+    (loss, (metrics, new_extra))`` come from ``runner._task_apply_for``.
+    The param bundle carries ``tasknet`` / ``teacher_tasknet`` as full
+    variables dicts.
+    """
+    diffusion = pipe.diffusion
+    used_ts = jnp.asarray(pipe.used_timesteps, jnp.int32)
+
+    def _vars(entry):
+        p = entry.get("params", entry)
+        extra = {k: v for k, v in entry.items() if k != "params"} or None
+        return p, extra
+
+    def edtr_loss(trainable, frozen, shared, rng):
+        params = merge_params(trainable, frozen)
+        gt, pre_res, z_pre, cond = shared
+        rng_t, rng_n = jax.random.split(rng)
+        idx = jax.random.randint(rng_t, (gt.shape[0],), 0, len(pipe.used_timesteps))
+        t = jnp.take(used_ts, idx)
+        out = diffusion.reverse(pipe.cldm.model_fn(params), t, z_pre, cond, rng=rng_n)
+        decoded = (pipe.cldm.vae_decode(params, out["x_pred"]) + 1) / 2
+        res = wavelet_reconstruction(decoded, pre_res)
+        sp, se = _vars(params["tasknet"])
+        tp, te = _vars(params["teacher_tasknet"])
+        f_res = task_feats_fn(sp, se, res)
+        f_gt = jax.lax.stop_gradient(task_feats_fn(sp, se, gt))
+        tf_res = task_feats_fn(tp, te, res)
+        tf_gt = jax.lax.stop_gradient(task_feats_fn(tp, te, gt))
+        loss = weight_hlf * (
+            jnp.abs(f_res - f_gt).mean() + jnp.abs(tf_res - tf_gt).mean()
+        )
+        return loss, dict(loss_hlf=loss)
+
+    def task_loss(task_params, params, batch, shared, rng):
+        gt, pre_res, z_pre, cond = shared
+        bs2 = max(gt.shape[0] // 2, 1)
+        r_n, r_s, r_t = jax.random.split(rng, 3)
+        cond2 = dict(c_txt=cond["c_txt"][:bs2], c_img=cond["c_img"][:bs2])
+        noise = jax.random.normal(r_n, z_pre[:bs2].shape, z_pre.dtype)
+        t = jnp.full((bs2,), pipe.start_timestep, jnp.int32)
+        z_T = diffusion.q_sample(z_pre[:bs2], t, noise)
+        z = sample_scan(pipe.cldm.model_fn(params), pipe.schedule, z_T, cond2, r_s)
+        decoded = (pipe.cldm.vae_decode(params, z) + 1) / 2
+        res = jax.lax.stop_gradient(wavelet_reconstruction(decoded, pre_res[:bs2]))
+        images = jnp.concatenate([res, gt[bs2:]], axis=0)
+        _, s_extra = _vars(params["tasknet"])
+        loss_task, (metrics, new_extra) = task_loss_fn(
+            task_params, s_extra, images, batch["target"], r_t
+        )
+        tp, te = _vars(params["teacher_tasknet"])
+        f_s = task_feats_fn(task_params, new_extra or s_extra, images)
+        f_t = jax.lax.stop_gradient(task_feats_fn(tp, te, gt))
+        loss_fm = weight_fm * jnp.abs(f_s - f_t).mean()
+        total = weight_task * loss_task + loss_fm
+        return total, (dict(metrics, loss_task=loss_task, loss_fm=loss_fm), new_extra)
+
+    def step_fn(state: EDTRTrainState, batch, rng):
+        r_edtr, r_task = jax.random.split(rng)
+        params = state.params
+        lq, gt = batch["lq"], batch["gt"]
+        pre_res = jax.lax.stop_gradient(pipe.pre_restore(params, lq))
+        z_pre = jax.lax.stop_gradient(
+            pipe.cldm.vae_encode(params, pre_res * 2 - 1, sample=False)
+        )
+        cond = dict(c_txt=batch["c_txt"], c_img=z_pre)
+        shared = (gt, pre_res, z_pre, cond)
+
+        trainable, frozen = split_trainable(params, state.train_decoder)
+        (loss_e, m_e), grads = jax.value_and_grad(edtr_loss, has_aux=True)(
+            trainable, frozen, shared, r_edtr
+        )
+        updates, new_opt_e = state.tx_edtr.update(grads, state.opt_edtr_state, trainable)
+        params = merge_params(optax.apply_updates(trainable, updates), frozen)
+        metrics = dict(m_e)
+
+        task_params = params["tasknet"]["params"]
+        (loss_t, (m_t, new_extra)), tgrads = jax.value_and_grad(
+            task_loss, has_aux=True
+        )(task_params, params, batch, shared, r_task)
+        tupdates, new_opt_d = state.tx_detnet.update(
+            tgrads, state.opt_detnet_state, task_params
+        )
+        params = dict(params)
+        params["tasknet"] = {
+            **params["tasknet"],
+            "params": optax.apply_updates(task_params, tupdates),
+            **(new_extra or {}),
+        }
+        metrics.update(m_t)
+        return (
+            state.replace(
+                params=params, opt_edtr_state=new_opt_e,
+                opt_detnet_state=new_opt_d, step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    return jax.jit(step_fn, donate_argnums=(0,)) if jit else step_fn
+
+
 def make_edtr_sample_fn(pipe, jit: bool = True):
     """No-grad K-step restore used for eval; parity ``test_edtr`` flow."""
 

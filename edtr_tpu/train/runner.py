@@ -357,6 +357,99 @@ def task_train(
     return state
 
 
+def edtr_train_task(
+    cfg_path: str, task: str, debug: bool = False, seed: Optional[int] = None
+):
+    """EDTR training for cls/seg tasks.
+
+    Parity: ``main/{cls,seg}/train_edtr.py`` — same two-half update as
+    detection with the task net's features for the HLF loss.
+    """
+    from edtr_tpu.train.edtr_step import (
+        EDTRTrainState,
+        make_edtr_generic_train_step,
+    )
+
+    cfg = load_config(cfg_path)
+    exp_dir, ckpt_dir, img_dir, logger, writer = prepare_environment(cfg, cfg_path, seed)
+    train_cfg = cfg["train"]
+    key = jax.random.PRNGKey(train_cfg.get("seed", 231))
+
+    pipe, params = build_edtr_models(cfg)
+    net_key = {"cls": "clsnet", "seg": "segnet"}[task]
+    net = instantiate_from_config(cfg["model"][net_key], dtype=jnp.bfloat16)
+    img_size = cfg["dataset"]["train"]["params"].get("out_size", 512) or 512
+    task_vars = jax.jit(net.init)(
+        {"params": key}, jnp.zeros((1, img_size, img_size, 3))
+    )
+    teacher_vars = task_vars
+    for name, field in (("tasknet", f"resume_{net_key}"),
+                        ("teacher_tasknet", f"resume_teacher_{net_key}")):
+        path = train_cfg.get(field, None)
+        if path and os.path.exists(str(path)):
+            loaded = ckpt.load_network(str(path), template=task_vars, strict=False)
+            if name == "tasknet":
+                task_vars = loaded
+            else:
+                teacher_vars = loaded
+    params["tasknet"] = task_vars
+    params["teacher_tasknet"] = teacher_vars
+
+    loss_fn, feats_fn = _task_apply_for(task, net)
+    state = EDTRTrainState.create(
+        pipe, {**params, "detnet": task_vars},  # detnet slot drives the SGD init
+        learning_rate_edtr=train_cfg.get("learning_rate_edtr", 1e-4),
+        learning_rate_detnet=train_cfg.get("learning_rate_task",
+                                           train_cfg.get("learning_rate_detnet", 5e-3)),
+        train_steps=train_cfg.get("train_steps", 10000),
+    )
+    state = state.replace(params=params)
+    step_fn = make_edtr_generic_train_step(
+        pipe, feats_fn, loss_fn,
+        weight_hlf=train_cfg.get("weight_hlf", 0.5),
+        weight_task=train_cfg.get("weight_ce", train_cfg.get("weight_det", 1.0)),
+        weight_fm=train_cfg.get("weight_fm", 0.2),
+    )
+
+    dataset = instantiate_from_config(cfg["dataset"]["train"])
+    loader = make_dataloader(
+        dataset, batch_size=train_cfg.get("batch_size", 16),
+        num_workers=train_cfg.get("num_workers", 0), seed=train_cfg.get("seed", 231),
+    )
+    c_txt_one = pipe.cldm.encode_text(params, [train_cfg.get("default_prompt", "")])
+
+    max_steps = 2 if debug else train_cfg.get("train_steps", 10000)
+    log_every = 1 if debug else train_cfg.get("log_every", 50)
+    ckpt_every = 1 if debug else train_cfg.get("ckpt_every", 10000)
+    global_step = 0
+    while global_step < max_steps:
+        for batch in loader:
+            gt_l, lq_l, target_l, _ = batch
+            bs = len(gt_l)
+            dev_batch = dict(
+                gt=jnp.asarray(np.stack(gt_l)),
+                lq=jnp.asarray(np.stack(lq_l)),
+                target=jnp.asarray(np.stack(target_l)),
+                c_txt=jnp.tile(c_txt_one, (bs, 1, 1)),
+            )
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, dev_batch, sub)
+            global_step += 1
+            if global_step % log_every == 0:
+                logger(f"step {global_step}: " + " ".join(
+                    f"{k}={float(v):.4f}" for k, v in metrics.items()))
+            if global_step % ckpt_every == 0:
+                ckpt.save_submodules(ckpt_dir, dict(
+                    controlnet=state.params["controlnet"],
+                    decoder=state.params["vae"]["decoder"],
+                    **{net_key: state.params["tasknet"]},
+                ), global_step)
+            if global_step >= max_steps:
+                break
+    logger("training done")
+    return state
+
+
 def task_eval(cfg_path: str, task: str, debug: bool = False, seed: int = 231,
               max_images: Optional[int] = None):
     """PSNR + top-1 / mIoU eval; parity main/{cls,seg}/test_*.py."""
@@ -400,16 +493,216 @@ def task_eval(cfg_path: str, task: str, debug: bool = False, seed: int = 231,
     return stats
 
 
+def _restore_eval_loop(cfg_path: str, task: str, restore_builder,
+                       debug: bool, seed: int, max_images: Optional[int]):
+    """Shared restore->task-metric eval loop (cls/seg).
+
+    ``restore_builder(cfg, pipe-like) -> restore_fn(lq_batch, rng)``.
+    """
+    from edtr_tpu.utils.metrics import compute_iou, confusion_matrix, topk_accuracy
+
+    cfg = load_config(cfg_path)
+    test_cfg = cfg.get("test", None) or cfg.get("val", Config())
+    net_key = {"cls": "clsnet", "seg": "segnet"}[task]
+    net = instantiate_from_config(cfg["model"][net_key], dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(seed)
+    dataset = instantiate_from_config(cfg["dataset"]["val"])
+    g0 = dataset[0][0]
+    net_vars = jax.jit(net.init)({"params": key}, jnp.zeros((1,) + g0.shape))
+    resume = test_cfg.get(f"resume_{net_key}", None)
+    if resume and os.path.exists(str(resume)):
+        net_vars = ckpt.load_network(str(resume), template=net_vars, strict=False)
+
+    restore_fn = restore_builder(cfg)
+    apply = jax.jit(lambda v, x: net.apply(v, x, normalize=True))
+    n = min(len(dataset), max_images or (2 if debug else len(dataset)))
+    psnrs, correct, total, mats = [], 0, 0, None
+    for i in range(n):
+        gt, lq, target, _ = dataset[i]
+        key, sub = jax.random.split(key)
+        restored = restore_fn(jnp.asarray(lq)[None], sub)
+        psnrs.append(float(calculate_psnr(jnp.asarray(gt)[None], restored)[0]))
+        out = apply(net_vars, restored)
+        if task == "cls":
+            correct += int(topk_accuracy(out, jnp.asarray([target]))[0])
+            total += 1
+        else:
+            pred = np.asarray(out["out"].argmax(-1))[0]
+            m = confusion_matrix(pred, np.asarray(target), out["out"].shape[-1])
+            mats = m if mats is None else mats + m
+    stats = dict(psnr=float(np.mean(psnrs)))
+    if task == "cls":
+        stats["top1"] = correct / max(total, 1)
+    else:
+        _, stats["miou"] = compute_iou(mats)
+    print(stats)
+    return stats
+
+
+def edtr_eval_task(cfg_path: str, task: str, debug: bool = False, seed: int = 231,
+                   max_images: Optional[int] = None):
+    """EDTR restore -> cls/seg metric; parity main/{cls,seg}/test_edtr.py."""
+    from edtr_tpu.train.edtr_step import make_edtr_sample_fn
+
+    def builder(cfg):
+        pipe, params = build_edtr_models(cfg)
+        sample_fn = make_edtr_sample_fn(pipe)
+        test_cfg = cfg.get("test", None) or Config()
+        c_txt = pipe.cldm.encode_text(params, [test_cfg.get("default_prompt", "")])
+        return lambda lq, rng: sample_fn(params, lq, c_txt, rng)
+
+    return _restore_eval_loop(cfg_path, task, builder, debug, seed, max_images)
+
+
+def swinir_eval(cfg_path: str, task: str, debug: bool = False, seed: int = 231,
+                max_images: Optional[int] = None):
+    """Frozen-SwinIR restore -> task metric; parity main/*/test_swinir.py."""
+
+    def builder(cfg):
+        from edtr_tpu.models.swinir import SwinIR
+
+        test_cfg = cfg.get("test", None) or Config()
+        sw_cfg = {k: (tuple(v) if isinstance(v, list) else v)
+                  for k, v in cfg["model"]["swinir"]["params"].to_dict().items()}
+        swinir = SwinIR(dtype=jnp.bfloat16, **sw_cfg)
+        resume = test_cfg.get("resume_swinir", None)
+        if resume and os.path.exists(str(resume)):
+            conv_sw = lambda sd: C.convert_swinir(
+                sd, depths=tuple(swinir.depths), unshuffle=swinir.unshuffle,
+                upsampler=swinir.upsampler, sf=swinir.sf)
+            sw_params = ckpt.load_network(str(resume), converter=conv_sw)
+        else:
+            sw_params = jax.jit(swinir.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+        fn = jax.jit(lambda lq: swinir.apply({"params": sw_params}, lq))
+        return lambda lq, rng: fn(lq)
+
+    return _restore_eval_loop(cfg_path, task, builder, debug, seed, max_images)
+
+
+def diffbir_eval(cfg_path: str, task: str, debug: bool = False, seed: int = 231,
+                 max_images: Optional[int] = None, steps: int = 50):
+    """50-step from-noise DiffBIR restore -> task metric.
+
+    Parity: main/*/test_diffbir.py (full ``sampler.sample`` from pure noise).
+    """
+    from edtr_tpu.diffusion.sampler import sample_scan
+    from edtr_tpu.utils.image import wavelet_reconstruction
+
+    def builder(cfg):
+        pipe, params = build_edtr_models(cfg)
+        schedule = pipe.sampler.make_schedule(steps)
+        test_cfg = cfg.get("test", None) or Config()
+        c_txt = pipe.cldm.encode_text(params, [test_cfg.get("default_prompt", "")])
+
+        @jax.jit
+        def restore(lq, rng):
+            pre = pipe.pre_restore(params, lq)
+            z_pre = pipe.cldm.vae_encode(params, pre * 2 - 1, sample=False)
+            cond = dict(c_txt=c_txt, c_img=z_pre)
+            r1, r2 = jax.random.split(rng)
+            x_T = jax.random.normal(r1, z_pre.shape, z_pre.dtype)
+            z = sample_scan(pipe.cldm.model_fn(params), schedule, x_T, cond, r2)
+            return wavelet_reconstruction(
+                (pipe.cldm.vae_decode(params, z) + 1) / 2, pre
+            )
+
+        return restore
+
+    return _restore_eval_loop(cfg_path, task, builder, debug, seed, max_images)
+
+
+def diffbir_train(cfg_path: str, task: str, debug: bool = False,
+                  seed: Optional[int] = None):
+    """DiffBIR training; parity main/*/train_diffbir.py.
+
+    Uses :func:`edtr_tpu.train.recipes.make_diffbir_train_step` with the
+    task hooks from ``_task_apply_for`` (det uses the detection loss dict).
+    """
+    from edtr_tpu.train import recipes as R
+    from edtr_tpu.train.recipes import SimpleTrainState, cosine_tx
+
+    cfg = load_config(cfg_path)
+    exp_dir, ckpt_dir, img_dir, logger, writer = prepare_environment(cfg, cfg_path, seed)
+    train_cfg = cfg["train"]
+    key = jax.random.PRNGKey(train_cfg.get("seed", 231))
+
+    pipe, params = build_edtr_models(cfg)
+    net_key = {"cls": "clsnet", "seg": "segnet", "det": "detnet"}[task]
+    net = instantiate_from_config(cfg["model"][net_key], dtype=jnp.bfloat16)
+    img_size = cfg["dataset"]["train"]["params"].get("out_size", 512) or 512
+    task_vars = jax.jit(net.init)(
+        {"params": key}, jnp.zeros((1, img_size, img_size, 3)))
+    teacher_vars = task_vars
+    loss_fn, feats_fn = _task_apply_for(task, net)
+
+    steps = train_cfg.get("train_steps", 10000)
+    cldm_state = SimpleTrainState.create(
+        params, cosine_tx("adamw", train_cfg.get("learning_rate_diffbir",
+                                                 train_cfg.get("learning_rate_edtr", 1e-4)), steps))
+    task_state = SimpleTrainState.create(
+        task_vars, cosine_tx("sgd", train_cfg.get("learning_rate_task", 5e-3), steps))
+    step_fn = R.make_diffbir_train_step(
+        pipe, loss_fn, feats_fn,
+        weight_ce=train_cfg.get("weight_ce", 1.0),
+        weight_fm=train_cfg.get("weight_fm", 0.2),
+    )
+
+    dataset = instantiate_from_config(cfg["dataset"]["train"])
+    loader = make_dataloader(
+        dataset, batch_size=train_cfg.get("batch_size", 16),
+        num_workers=train_cfg.get("num_workers", 0), seed=train_cfg.get("seed", 231))
+    c_txt_one = pipe.cldm.encode_text(params, [train_cfg.get("default_prompt", "")])
+
+    max_steps = 2 if debug else steps
+    log_every = 1 if debug else train_cfg.get("log_every", 50)
+    ckpt_every = 1 if debug else train_cfg.get("ckpt_every", steps)
+    state = (cldm_state, task_state, teacher_vars)
+    global_step = 0
+    while global_step < max_steps:
+        for batch in loader:
+            if task == "det":
+                _, _, gt_b, lq_b, annot_list, _, bs = prepare_batch(batch)
+                gt, lq = jnp.asarray(gt_b), jnp.asarray(lq_b)
+                target = {k: jnp.asarray(v) for k, v in pad_annots(annot_list).items()}
+            else:
+                gt_l, lq_l, target_l, _ = batch
+                bs = len(gt_l)
+                gt = jnp.asarray(np.stack(gt_l))
+                lq = jnp.asarray(np.stack(lq_l))
+                target = jnp.asarray(np.stack(target_l))
+            key, sub = jax.random.split(key)
+            dev_batch = dict(gt=gt, lq=lq, target=target,
+                             c_txt=jnp.tile(c_txt_one, (bs, 1, 1)))
+            state, metrics = step_fn(state, dev_batch, sub)
+            global_step += 1
+            if global_step % log_every == 0:
+                logger(f"step {global_step}: " + " ".join(
+                    f"{k}={float(v):.4f}" for k, v in metrics.items()))
+            if global_step % ckpt_every == 0:
+                ckpt.save_submodules(ckpt_dir, dict(
+                    controlnet=state[0].params["controlnet"],
+                    **{net_key: state[1].variables},
+                ), global_step)
+            if global_step >= max_steps:
+                break
+    logger("training done")
+    return state
+
+
 def edtr_eval(
     cfg_path: str,
     debug: bool = False,
     seed: int = 231,
     save_img: bool = False,
+    calc_fd: bool = False,
     max_images: Optional[int] = None,
 ):
-    """EDTR detection evaluation: restore -> detect -> PSNR + COCO mAP.
+    """EDTR detection evaluation: restore -> detect -> PSNR + COCO mAP,
+    optional restored-image dumps and teacher feature-distance.
 
-    Parity: ``main/det/test_edtr.py:100-190``.
+    Parity: ``main/det/test_edtr.py:100-190`` (+ --save-img :149-160,
+    --calc-fd :144-147,166-168).
     """
     from edtr_tpu.train.edtr_step import make_edtr_sample_fn
     from edtr_tpu.utils.coco_eval import CocoEvaluator
@@ -432,7 +725,28 @@ def edtr_eval(
     det_fn = jax.jit(lambda p, im: detnet.apply(p, im)[0])
     c_txt = pipe.cldm.encode_text(params, [test_cfg.get("default_prompt", "")])
 
-    psnrs = []
+    teacher_params = None
+    fd_fn = None
+    if calc_fd:
+        teacher_params = init_detnet_params(detnet, jax.random.fold_in(jax.random.PRNGKey(seed), 1))
+        tpath = test_cfg.get("resume_teacher_detnet", None)
+        if tpath and os.path.exists(str(tpath)):
+            teacher_params = ckpt.load_network(str(tpath), template=teacher_params, strict=False)
+        fd_fn = jax.jit(
+            lambda p, a, b: jnp.abs(
+                detnet.apply(p, a)[2]["features"]["0"]
+                - detnet.apply(p, b)[2]["features"]["0"]
+            ).mean()
+        )
+
+    img_dir = None
+    if save_img:
+        img_dir = os.path.join(
+            (cfg.get("test", None) or Config()).get("exp_dir", "results"), "images"
+        )
+        os.makedirs(img_dir, exist_ok=True)
+
+    psnrs, fds = [], []
     n = min(len(dataset), max_images or (4 if debug else len(dataset)))
     key = jax.random.PRNGKey(seed)
     for i in range(n):
@@ -445,6 +759,14 @@ def edtr_eval(
         key, sub = jax.random.split(key)
         restored = sample_fn(params, lq_b, c_txt, sub)
         psnrs.append(float(calculate_psnr(restored[:, :h, :w], gt_b[:, :h, :w])[0]))
+        if fd_fn is not None:
+            fds.append(float(fd_fn(teacher_params, gt_b, restored)))
+        if img_dir is not None:
+            from PIL import Image
+
+            out01 = np.clip(np.asarray(restored[0, :h, :w]), 0, 1)
+            Image.fromarray((out01 * 255).astype(np.uint8)).save(
+                os.path.join(img_dir, f"{i:05d}.png"))
         dets = det_fn(det_params, restored)
         valid = np.asarray(dets["valid"][0])
         evaluator.update({
@@ -458,5 +780,8 @@ def edtr_eval(
     evaluator.accumulate()
     stats = evaluator.summarize()
     stats["psnr"] = float(np.mean(psnrs))
-    print(f"PSNR: {stats['psnr']:.3f}  mAP: {stats['AP']:.4f}  mAP50: {stats['AP50']:.4f}")
+    if fds:
+        stats["feature_distance"] = float(np.mean(fds))
+    print(f"PSNR: {stats['psnr']:.3f}  mAP: {stats['AP']:.4f}  mAP50: {stats['AP50']:.4f}"
+          + (f"  FD: {stats['feature_distance']:.4f}" if fds else ""))
     return stats

@@ -1,7 +1,6 @@
 #!/usr/bin/env python
-"""EDTR flagship training (detection).
-
-Parity: reference ``main/det/train_edtr.py`` (see SURVEY.md §2.6).
+"""EDTR evaluation (cls task): restore with the EDTR pipeline, then PSNR +
+task metric. Parity: reference ``main/cls/test_edtr.py``.
 """
 import os
 import sys
@@ -10,20 +9,15 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
 
 import argparse
 
-from edtr_tpu.utils.cache import enable_compilation_cache
-
-enable_compilation_cache()
-
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
     p.add_argument("--debug", action="store_true")
-    p.add_argument("--seed", type=int, default=None)
-
+    p.add_argument("--seed", type=int, default=231)
     args = p.parse_args()
-    from edtr_tpu.train.runner import edtr_train
-    edtr_train(args.config, debug=args.debug, seed=args.seed)
+    from edtr_tpu.train.runner import edtr_eval_task
+    edtr_eval_task(args.config, task="cls", debug=args.debug, seed=args.seed)
 
 
 if __name__ == "__main__":

@@ -3,6 +3,11 @@
 
 Parity: reference ``main/cls/train_swinir-sr4ir.py`` (see SURVEY.md §2.6).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
 import argparse
 
 from edtr_tpu.utils.cache import enable_compilation_cache

@@ -3,6 +3,11 @@
 
 Parity: reference ``main/det/test_edtr.py`` (see SURVEY.md §2.6).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
 import argparse
 
 from edtr_tpu.utils.cache import enable_compilation_cache
@@ -19,7 +24,7 @@ def main():
     p.add_argument("--calc-fd", action="store_true")
     args = p.parse_args()
     from edtr_tpu.train.runner import edtr_eval
-    edtr_eval(args.config, debug=args.debug, seed=args.seed or 231, save_img=args.save_img)
+    edtr_eval(args.config, debug=args.debug, seed=args.seed or 231, save_img=args.save_img, calc_fd=getattr(args, 'calc_fd', False))
 
 
 if __name__ == "__main__":

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""Train the det task network on frozen-SwinIR restored images.
+"""EDTR training (seg task).
 
-Parity: reference ``main/det/train_swinir.py`` (see SURVEY.md §2.6).
+Parity: reference ``main/seg/train_edtr.py`` (see SURVEY.md §2.6).
 """
 import os
 import sys
@@ -10,20 +10,15 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
 
 import argparse
 
-from edtr_tpu.utils.cache import enable_compilation_cache
-
-enable_compilation_cache()
-
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
     p.add_argument("--debug", action="store_true")
     p.add_argument("--seed", type=int, default=None)
-
     args = p.parse_args()
-    from edtr_tpu.train.runner import task_train
-    task_train(args.config, task="det", recipe="swinir", debug=args.debug, seed=args.seed)
+    from edtr_tpu.train.runner import edtr_train_task
+    edtr_train_task(args.config, task="seg", debug=args.debug, seed=args.seed)
 
 
 if __name__ == "__main__":

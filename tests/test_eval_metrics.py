@@ -169,3 +169,55 @@ def test_tiled_vae_gn_sync_close_to_untiled():
     # per-tile stats do (this is the point of the sync)
     assert err_synced <= err_unsynced + 1e-3, (err_synced, err_unsynced)
     assert err_synced < 0.8, err_synced  # random-init tiny VAE, extreme 2x2 tiling
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from edtr_tpu.utils import checkpoint as ckpt
+
+    tree = {"a": {"w": jnp.arange(6.0).reshape(2, 3)}, "step": jnp.asarray(7)}
+    path = str(tmp_path / "state")
+    ckpt.save_checkpoint(path, tree)
+    restored = ckpt.restore_checkpoint(path, tree)
+    np.testing.assert_array_equal(np.asarray(restored["a"]["w"]),
+                                  np.asarray(tree["a"]["w"]))
+    assert int(restored["step"]) == 7
+
+
+def test_coco_index(tmp_path):
+    import json
+
+    from edtr_tpu.data.coco import COCOIndex, gt_from_coco_index
+
+    ann = dict(
+        images=[{"id": 1, "file_name": "a.jpg"}, {"id": 2, "file_name": "b.jpg"}],
+        annotations=[
+            {"id": 10, "image_id": 1, "bbox": [5, 5, 20, 30], "category_id": 3,
+             "area": 600, "iscrowd": 0},
+        ],
+        categories=[{"id": 3, "name": "cat"}],
+    )
+    p = tmp_path / "inst.json"
+    p.write_text(json.dumps(ann))
+    coco = COCOIndex(str(p))
+    assert coco.getImgIds() == [1, 2]
+    assert coco.getAnnIds(1) == [10] and coco.getAnnIds(2) == []
+    gt = gt_from_coco_index(coco)
+    np.testing.assert_allclose(gt[1]["boxes"], [[5, 5, 25, 35]])
+
+
+def test_flops_estimate():
+    from edtr_tpu.utils.profiling import flops_estimate
+
+    cost = flops_estimate(lambda a, b: a @ b,
+                          jnp.ones((128, 64)), jnp.ones((64, 32)))
+    assert cost["flops"] >= 2 * 128 * 64 * 32 * 0.9
+
+
+def test_nan_guard():
+    import pytest as _pytest
+
+    from edtr_tpu.utils.profiling import nan_guard
+
+    nan_guard({"x": jnp.ones(3)})
+    with _pytest.raises(FloatingPointError):
+        nan_guard({"x": jnp.asarray([1.0, np.nan])})
