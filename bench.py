@@ -1,17 +1,21 @@
-"""Benchmark: EDTR-s4 512x512 restoration throughput on one TPU chip.
+"""Benchmark: EDTR-s4 512x512 restore+detect throughput on one TPU chip.
 
-Measures the flagship end-to-end restore graph (SwinIR pre-restoration +
+Measures the flagship end-to-end graph — SwinIR pre-restoration +
 ControlNet+UNet 4-step spaced denoise as one lax.scan + VAE decode + wavelet
-color fix) at SD2.1 scale, bf16 compute, and prints ONE JSON line:
+color fix + Faster R-CNN (mobilenet-FPN) detection — at SD2.1 scale, bf16
+compute, and prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md).
 ``A6000_BASELINE_IMG_S`` is a documented engineering estimate of the PyTorch
 reference at bs=1 fp16 on an A6000 (4 x (UNet ~70ms + ControlNet ~35ms)
-+ VAE decode ~90ms + SwinIR ~110ms ~= 620ms/img -> ~1.6 img/s);
-``vs_baseline`` is measured_throughput / that estimate. The north-star is
->=3x (BASELINE.json).
++ VAE decode ~90ms + SwinIR ~110ms + detnet ~25ms ~= 645ms/img -> ~1.55
+img/s); ``vs_baseline`` is measured_throughput / that estimate. The
+north-star is >=3x (BASELINE.json).
+
+Env knobs: EDTR_BENCH_BATCH (4), EDTR_BENCH_ITERS (10),
+EDTR_BENCH_DETNET=0 to drop the detector from the graph.
 """
 
 import json
@@ -20,9 +24,10 @@ import time
 
 os.environ.setdefault("EDTR_ENTRY_SIZE", "full")
 
-A6000_BASELINE_IMG_S = 1.6
+A6000_BASELINE_IMG_S = 1.55
 BATCH = int(os.environ.get("EDTR_BENCH_BATCH", "4"))
 ITERS = int(os.environ.get("EDTR_BENCH_ITERS", "10"))
+WITH_DETNET = os.environ.get("EDTR_BENCH_DETNET", "1") == "1"
 
 
 def main() -> None:
@@ -43,26 +48,44 @@ def main() -> None:
         (BATCH, pipe.cldm.clip.context_length, pipe.cldm.clip.width), jnp.float32
     )
 
-    fn = jax.jit(
-        lambda p, lq, rng: pipe.restore(p, lq, rng, c_txt=c_txt)["restored"]
-    )
+    detnet = det_vars = None
+    if WITH_DETNET and not tiny:
+        from edtr_tpu.models.faster_rcnn import fasterrcnn_mobilenet_v3_large_fpn
+
+        detnet = fasterrcnn_mobilenet_v3_large_fpn(num_classes=21, dtype=jnp.bfloat16)
+        det_vars = jax.jit(detnet.init)(
+            {"params": jax.random.PRNGKey(7)},
+            jnp.zeros((BATCH, image_size, image_size, 3)),
+        )
+
+    def step(p, dv, lq, rng):
+        restored = pipe.restore(p, lq, rng, c_txt=c_txt)["restored"]
+        if detnet is not None:
+            dets, _, _ = detnet.apply(dv, restored)
+            return restored, dets["scores"]
+        return restored, None
+
+    fn = jax.jit(step)
     lq = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, image_size, image_size, 3))
     rng = jax.random.PRNGKey(231)
 
-    out = fn(params, lq, rng)
+    out, _ = fn(params, det_vars, lq, rng)
     out.block_until_ready()  # compile + warm
 
     t0 = time.time()
     for i in range(ITERS):
-        out = fn(params, jnp.clip(out, 0, 1), jax.random.fold_in(rng, i))
+        out, scores = fn(params, det_vars, jnp.clip(out, 0, 1), jax.random.fold_in(rng, i))
     out.block_until_ready()
     dt = (time.time() - t0) / ITERS
 
     img_s = BATCH / dt
+    stages = "SwinIR + 4-step ControlNet/UNet scan + VAE decode + wavelet" + (
+        " + FasterRCNN-mobilenet-FPN detect" if detnet is not None else ""
+    )
     print(
         json.dumps(
             {
-                "metric": f"EDTR-s4 {image_size}x{image_size} restore (SwinIR + 4-step ControlNet/UNet scan + VAE decode + wavelet), bs={BATCH}, bf16",
+                "metric": f"EDTR-s4 {image_size}x{image_size} restore ({stages}), bs={BATCH}, bf16",
                 "value": round(img_s, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(img_s / A6000_BASELINE_IMG_S, 3),

@@ -651,10 +651,8 @@ def optax_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 
 def _resnet_stages(backbone: ResNet, x: jnp.ndarray, train: bool):
-    raise NotImplementedError(
-        "resnet50_fpn_v2 backbone stage taps land with the COCO real-world "
-        "recipe; VOC configs use the mobilenet FPN variant."
-    )
+    """C2..C5 stage outputs for the resnet50 FPN (strides 4/8/16/32)."""
+    return backbone(x, normalize=False, features=True, train=train)
 
 
 def fasterrcnn_mobilenet_v3_large_fpn(

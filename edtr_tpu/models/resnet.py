@@ -129,8 +129,11 @@ class ResNet(nn.Module):
         upsample: int = 1,
         normalize: bool = True,
         return_feat: bool = False,
+        features: bool = False,
         train: bool = False,
     ):
+        """``features=True`` returns the [layer1..layer4] stage outputs
+        (C2..C5) for FPN/DeepLab backbones."""
         block_kind, layers = ARCHS[self.type]
         Block = BasicBlock if block_kind == "basic" else Bottleneck
         expansion = 1 if block_kind == "basic" else 4
@@ -158,6 +161,7 @@ class ResNet(nn.Module):
         # previous dilation and drops its stride; later blocks use the new one
         inplanes = 64
         dilation = 1
+        stage_outputs = []
         for li, (planes_mult, n_blocks) in enumerate(zip((1, 2, 4, 8), layers)):
             planes = 64 * planes_mult
             stride = 1 if li == 0 else self.strides[li - 1]
@@ -179,7 +183,10 @@ class ResNet(nn.Module):
                     name=f"layer{li + 1}_{bi}",
                 )(x, train=train)
                 inplanes = planes * expansion
+            stage_outputs.append(x)
         feat = x
+        if features:
+            return stage_outputs
 
         x = x.mean(axis=(1, 2))  # AdaptiveAvgPool2d(1)
         x = nn.Dense(self.num_classes, param_dtype=jnp.float32, dtype=self.dtype, name="fc")(x)
