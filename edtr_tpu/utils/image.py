@@ -108,6 +108,21 @@ def calculate_psnr(
     return 10.0 * jnp.log10(1.0 / (mse + 1e-12))
 
 
+def calculate_lpips(img1: jnp.ndarray, img2: jnp.ndarray, net: str = "alex"):
+    """LPIPS placeholder (reference helper: utils/common.py:252-269).
+
+    The reference wraps the ``lpips`` pip package, which (and whose
+    pretrained AlexNet/VGG weights) is not available in this environment;
+    metric parity uses PSNR + task metrics instead. Provide weights via
+    $EDTR_LPIPS_WEIGHTS to enable a converted-jax implementation in a
+    future round.
+    """
+    raise NotImplementedError(
+        "LPIPS requires pretrained perceptual weights that are not bundled; "
+        "use calculate_psnr / task metrics (see README deviations)."
+    )
+
+
 def rgb2ycbcr_y(img: jnp.ndarray) -> jnp.ndarray:
     """BT.601 luma of [0,1] RGB (``utils/common.py:168-217`` y-only path)."""
     w = jnp.array([65.481, 128.553, 24.966], dtype=img.dtype) / 255.0
