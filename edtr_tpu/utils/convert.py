@@ -387,6 +387,189 @@ def convert_autoencoder_kl(
     }
 
 
+# -- torchvision-family task networks -------------------------------------------
+#
+# These return {"params": ..., "batch_stats": ...} (full flax variables):
+# torch BatchNorm weight/bias -> params scale/bias; running_mean/var ->
+# batch_stats (FrozenBatchNorm2d in the detection nets maps identically).
+
+def _bn(sd, key):
+    params = {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+    stats = {
+        "mean": sd[f"{key}.running_mean"],
+        "var": sd[f"{key}.running_var"],
+    }
+    return params, stats
+
+
+def convert_resnet(sd, prefix: str = "", type: int = 18) -> Params:
+    """ResNet (``model/resnet.py``) -> full variables dict."""
+    layers = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
+              101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}[type]
+    bottleneck = type >= 50
+    pfx = f"{prefix}." if prefix else ""
+    P: Params = {"conv1": conv(sd, f"{pfx}conv1")}
+    S: Params = {}
+    P["bn1"], S["bn1"] = _bn(sd, f"{pfx}bn1")
+    if f"{pfx}fc.weight" in sd:
+        P["fc"] = linear(sd, f"{pfx}fc")
+    for li, n_blocks in enumerate(layers, start=1):
+        for bi in range(n_blocks):
+            bp = f"{pfx}layer{li}.{bi}"
+            name = f"layer{li}_{bi}"
+            blk_p: Params = {}
+            blk_s: Params = {}
+            n_convs = 3 if bottleneck else 2
+            for ci in range(1, n_convs + 1):
+                blk_p[f"conv{ci}"] = conv(sd, f"{bp}.conv{ci}")
+                blk_p[f"bn{ci}"], blk_s[f"bn{ci}"] = _bn(sd, f"{bp}.bn{ci}")
+            if f"{bp}.downsample.0.weight" in sd:
+                blk_p["downsample_0"] = conv(sd, f"{bp}.downsample.0")
+                blk_p["downsample_1"], blk_s["downsample_1"] = _bn(sd, f"{bp}.downsample.1")
+            P[name] = blk_p
+            S[name] = blk_s
+    return {"params": P, "batch_stats": S}
+
+
+def _convbnact(sd, key):
+    p = {"conv": conv(sd, f"{key}.0")}
+    s = {}
+    p["bn"], s["bn"] = _bn(sd, f"{key}.1")
+    return p, s
+
+
+def convert_mobilenetv3(sd, prefix: str = "", with_classifier: bool = True) -> Params:
+    """MobileNetV3-Large (``model/mobilenetv3.py``) -> full variables dict."""
+    pfx = f"{prefix}." if prefix else ""
+    P: Params = {}
+    S: Params = {}
+    P["features_0"], S["features_0"] = _convbnact(sd, f"{pfx}features.0")
+    bi = 1
+    while f"{pfx}features.{bi}.block.0.0.weight" in sd:
+        blk_p: Params = {}
+        blk_s: Params = {}
+        j = 0
+        while True:
+            base = f"{pfx}features.{bi}.block.{j}"
+            if f"{base}.0.weight" in sd:
+                blk_p[f"block_{j}"], blk_s[f"block_{j}"] = _convbnact(sd, base)
+            elif f"{base}.fc1.weight" in sd:
+                blk_p[f"block_{j}"] = {
+                    "fc1": conv(sd, f"{base}.fc1"),
+                    "fc2": conv(sd, f"{base}.fc2"),
+                }
+            else:
+                break
+            j += 1
+        P[f"features_{bi}"] = blk_p
+        if blk_s:
+            S[f"features_{bi}"] = blk_s
+        bi += 1
+    last = f"{pfx}features.{bi}"
+    if f"{last}.0.weight" in sd:
+        P[f"features_{bi}"], S[f"features_{bi}"] = _convbnact(sd, last)
+    if with_classifier and f"{pfx}classifier.0.weight" in sd:
+        P["classifier_0"] = linear(sd, f"{pfx}classifier.0")
+        P["classifier_3"] = linear(sd, f"{pfx}classifier.3")
+    return {"params": P, "batch_stats": S}
+
+
+def convert_fasterrcnn_mobilenet(sd) -> Params:
+    """FasterRCNN mobilenet-FPN detnet checkpoint -> full variables dict.
+
+    Parity: the reference's released ``detnet_*.pt`` state dicts
+    (``model/faster_rcnn.py:733-795`` architecture).
+    """
+    # IntermediateLayerGetter flattens `features` out of the key path
+    sd = dict(sd)
+    for k in list(sd):
+        if k.startswith("backbone.body.") and not k.startswith("backbone.body.features."):
+            sd["backbone.body.features." + k[len("backbone.body."):]] = sd.pop(k)
+    body = convert_mobilenetv3(sd, prefix="backbone.body", with_classifier=False)
+    P: Params = {"body": body["params"]}
+    S: Params = {"body": body["batch_stats"]}
+
+    fpn: Params = {}
+    i = 0
+    while f"backbone.fpn.inner_blocks.{i}.0.weight" in sd:
+        fpn[f"inner_{i}"] = conv(sd, f"backbone.fpn.inner_blocks.{i}.0")
+        fpn[f"layer_{i}"] = conv(sd, f"backbone.fpn.layer_blocks.{i}.0")
+        i += 1
+    P["fpn"] = fpn
+
+    rpn: Params = {}
+    if "rpn.head.conv.0.0.weight" in sd:
+        rpn["conv_0"] = conv(sd, "rpn.head.conv.0.0")
+    else:  # pre-v2 layout
+        rpn["conv_0"] = conv(sd, "rpn.head.conv")
+    if "rpn.head.conv.1.0.weight" in sd:
+        rpn["conv_1"] = conv(sd, "rpn.head.conv.1.0")
+    rpn["cls_logits"] = conv(sd, "rpn.head.cls_logits")
+    rpn["bbox_pred"] = conv(sd, "rpn.head.bbox_pred")
+    P["rpn_head"] = rpn
+
+    P["box_head"] = {
+        "fc6": linear(sd, "roi_heads.box_head.fc6"),
+        "fc7": linear(sd, "roi_heads.box_head.fc7"),
+    }
+    P["box_predictor"] = {
+        "cls_score": linear(sd, "roi_heads.box_predictor.cls_score"),
+        "bbox_pred": linear(sd, "roi_heads.box_predictor.bbox_pred"),
+    }
+    return {"params": P, "batch_stats": S}
+
+
+def convert_deeplabv3_mobilenet(sd) -> Params:
+    """DeepLabV3-MobileNetV3 segnet checkpoint -> full variables dict.
+
+    torch keys: backbone.{feature idx}..., classifier.{0..4}, aux_classifier
+    (IntermediateLayerGetter flattens ``features`` out of the key path).
+    """
+    sd = dict(sd)
+    for k in list(sd):
+        if k.startswith("backbone.") and not k.startswith("backbone.features."):
+            sd["backbone.features." + k[len("backbone."):]] = sd.pop(k)
+    body = convert_mobilenetv3(sd, prefix="backbone", with_classifier=False)
+    P: Params = {"backbone": body["params"]}
+    S: Params = {"backbone": body["batch_stats"]}
+
+    # classifier = DeepLabHead: 0=ASPP, 1=conv3x3, 2=bn, 3=relu, 4=conv1x1
+    aspp_p: Params = {}
+    aspp_s: Params = {}
+    i = 0
+    while f"classifier.0.convs.{i}.0.weight" in sd:
+        aspp_p[f"convs_{i}"], aspp_s[f"convs_{i}"] = _convbnact(sd, f"classifier.0.convs.{i}")
+        i += 1
+    # the pooling branch: convs.{last}.1 is the conv (after AdaptiveAvgPool)
+    last = i
+    if f"classifier.0.convs.{last}.1.weight" in sd:
+        p = {"conv": conv(sd, f"classifier.0.convs.{last}.1")}
+        s = {}
+        p["bn"], s["bn"] = _bn(sd, f"classifier.0.convs.{last}.2")
+        aspp_p[f"convs_{last}"] = p
+        aspp_s[f"convs_{last}"] = s
+    proj_p = {"conv": conv(sd, "classifier.0.project.0")}
+    proj_s = {}
+    proj_p["bn"], proj_s["bn"] = _bn(sd, "classifier.0.project.1")
+    aspp_p["project"] = proj_p
+    aspp_s["project"] = proj_s
+
+    head_p = {"conv": conv(sd, "classifier.1")}
+    head_s = {}
+    head_p["bn"], head_s["bn"] = _bn(sd, "classifier.2")
+    P["classifier"] = {"aspp": aspp_p, "head": head_p, "out": conv(sd, "classifier.4")}
+    S["classifier"] = {"aspp": aspp_s, "head": head_s}
+
+    if "aux_classifier.0.weight" in sd:
+        aux_p = {"head": {"conv": conv(sd, "aux_classifier.0")}}
+        aux_s = {"head": {}}
+        aux_p["head"]["bn"], aux_s["head"]["bn"] = _bn(sd, "aux_classifier.1")
+        aux_p["out"] = conv(sd, "aux_classifier.4")
+        P["aux_classifier"] = aux_p
+        S["aux_classifier"] = aux_s
+    return {"params": P, "batch_stats": S}
+
+
 # -- SwinIR ----------------------------------------------------------------------
 
 def convert_swinir(

@@ -103,6 +103,74 @@ def _stub_ftfy():
     sys.modules["ftfy"] = ftfy
 
 
+
+def _stub_torchvision_ops():
+    """torchvision.ops surface used by the vendored faster_rcnn at import /
+    construction time. FeaturePyramidNetwork is a real (param-bearing) torch
+    module so state_dict keys match torchvision's layout."""
+    import sys as _sys
+
+    if "torchvision.ops" in _sys.modules:
+        return
+    import torch
+    import torch.nn as nn
+
+    ops = types.ModuleType("torchvision.ops")
+    fpn_mod = types.ModuleType("torchvision.ops.feature_pyramid_network")
+
+    class ExtraFPNBlock(nn.Module):
+        pass
+
+    class LastLevelMaxPool(ExtraFPNBlock):
+        def forward(self, results, x, names):
+            names.append("pool")
+            results.append(torch.nn.functional.max_pool2d(results[-1], 1, 2, 0))
+            return results, names
+
+    class FeaturePyramidNetwork(nn.Module):
+        def __init__(self, in_channels_list, out_channels, extra_blocks=None,
+                     norm_layer=None):
+            super().__init__()
+            self.inner_blocks = nn.ModuleList()
+            self.layer_blocks = nn.ModuleList()
+            for in_ch in in_channels_list:
+                self.inner_blocks.append(
+                    nn.Sequential(nn.Conv2d(in_ch, out_channels, 1)))
+                self.layer_blocks.append(
+                    nn.Sequential(nn.Conv2d(out_channels, out_channels, 3, padding=1)))
+            self.extra_blocks = extra_blocks
+
+    class MultiScaleRoIAlign(nn.Module):
+        def __init__(self, featmap_names, output_size, sampling_ratio, **kw):
+            super().__init__()
+            self.featmap_names = featmap_names
+            self.output_size = (
+                (output_size, output_size) if isinstance(output_size, int)
+                else output_size
+            )
+            self.sampling_ratio = sampling_ratio
+
+    def _unavailable(*a, **k):
+        raise NotImplementedError("torchvision.ops stub: runtime op not available")
+
+    boxes_mod = types.ModuleType("torchvision.ops.boxes")
+    for name in ("nms", "batched_nms", "box_iou", "clip_boxes_to_image",
+                 "remove_small_boxes", "box_area"):
+        setattr(boxes_mod, name, _unavailable)
+
+    fpn_mod.ExtraFPNBlock = ExtraFPNBlock
+    fpn_mod.FeaturePyramidNetwork = FeaturePyramidNetwork
+    fpn_mod.LastLevelMaxPool = LastLevelMaxPool
+    ops.boxes = boxes_mod
+    ops.roi_align = _unavailable
+    ops.MultiScaleRoIAlign = MultiScaleRoIAlign
+    ops.feature_pyramid_network = fpn_mod
+    _sys.modules["torchvision.ops"] = ops
+    _sys.modules["torchvision.ops.boxes"] = boxes_mod
+    _sys.modules["torchvision.ops.feature_pyramid_network"] = fpn_mod
+    _sys.modules["torchvision"].ops = ops
+
+
 def _stub_omegaconf():
     if "omegaconf" in sys.modules:
         return
@@ -132,6 +200,7 @@ def _synthetic_pkg(name, path):
 def load_ref_module(dotted: str):
     """Import e.g. 'model.unet' from the reference tree, bypassing __init__."""
     _stub_torchvision()
+    _stub_torchvision_ops()
     _stub_timm()
     _stub_omegaconf()
     _stub_ftfy()
