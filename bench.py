@@ -63,36 +63,36 @@ def main() -> None:
             jnp.zeros((BATCH, image_size, image_size, 3)),
         )
 
-    # two executables (restore | detect): same math, lower peak HBM than one
-    # fused graph (restore alone holds ~7 GB fp32 params + bf16 casts)
-    restore_fn = jax.jit(
-        lambda p, lq, rng: pipe.restore(p, lq, rng, c_txt=c_txt)["restored"]
-    )
-    detect_fn = (
-        jax.jit(lambda dv, x: detnet.apply(dv, x)[0]["scores"])
-        if detnet is not None
-        else None
-    )
+    # one fused executable (restore -> detect): bf16 params keep it inside
+    # the 16 GB HBM; on OOM fall back to restore-only and say so on stderr
+    def step(p, dv, lq, rng):
+        restored = pipe.restore(p, lq, rng, c_txt=c_txt)["restored"]
+        if dv is not None:
+            return restored, detnet.apply(dv, restored)[0]["scores"]
+        return restored, None
+
     lq = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, image_size, image_size, 3))
     rng = jax.random.PRNGKey(231)
 
-    out = restore_fn(params, lq, rng)
-    if detect_fn is not None:
-        try:
-            detect_fn(det_vars, out).block_until_ready()
-        except Exception as e:  # HBM pressure: fall back to restore-only
-            import sys
+    fn = jax.jit(step)
+    try:
+        out, _ = fn(params, det_vars, lq, rng)
+        out.block_until_ready()  # compile + warm
+    except Exception as e:
+        if det_vars is None:
+            raise
+        import sys
 
-            print(f"# detect stage skipped: {type(e).__name__}", file=sys.stderr, flush=True)
-            detnet = detect_fn = None
-    out.block_until_ready()  # compile + warm
+        print(f"# detect stage dropped: {type(e).__name__}", file=sys.stderr, flush=True)
+        detnet = det_vars = None
+        fn = jax.jit(step)
+        out, _ = fn(params, None, lq, rng)
+        out.block_until_ready()
 
     t0 = time.time()
     for i in range(ITERS):
-        out = restore_fn(params, jnp.clip(out, 0, 1), jax.random.fold_in(rng, i))
-        if detect_fn is not None:
-            scores = detect_fn(det_vars, out)
-    jax.block_until_ready((out, scores) if detect_fn is not None else out)
+        out, scores = fn(params, det_vars, jnp.clip(out, 0, 1), jax.random.fold_in(rng, i))
+    jax.block_until_ready(out)
     dt = (time.time() - t0) / ITERS
 
     img_s = BATCH / dt

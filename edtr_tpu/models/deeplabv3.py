@@ -151,10 +151,9 @@ class DeepLabV3ResNet(nn.Module):
             dtype=self.dtype,
             name="backbone",
         )
-        # reuse ResNet internals via capture of intermediate activations
-        _, feat = backbone(x, normalize=False, return_feat=True, train=train)
-        # ResNet.return_feat gives layer4 (C5); for aux we need layer3 — use
-        # the capture hook below instead when aux is enabled.
+        stages = backbone(x, normalize=False, features=True, train=train)
+        feat = stages[-1]      # layer4 -> "C5" (model/deeplabv3.py:168)
+        aux_feat = stages[-2]  # layer3 -> "C2" tap (model/deeplabv3.py:171)
         result = {}
         out = DeepLabHead(self.num_classes, dtype=self.dtype, name="classifier")(
             feat, train
@@ -163,8 +162,16 @@ class DeepLabV3ResNet(nn.Module):
             out.astype(jnp.float32), (out.shape[0], in_h, in_w, out.shape[-1]), "bilinear"
         )
         result["out"] = out
+        if self.aux_loss:
+            aux = FCNHead(self.num_classes, dtype=self.dtype, name="aux_classifier")(
+                aux_feat, train
+            )
+            result["aux"] = jax.image.resize(
+                aux.astype(jnp.float32), (aux.shape[0], in_h, in_w, aux.shape[-1]),
+                "bilinear",
+            )
         if return_feat:
-            return result, {"C5": feat}
+            return result, {"C5": feat, "C2": aux_feat}
         return result
 
 

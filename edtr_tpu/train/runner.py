@@ -145,7 +145,22 @@ def edtr_train(cfg_path: str, debug: bool = False, seed: Optional[int] = None):
     log_every = 1 if debug else train_cfg.get("log_every", 50)
     ckpt_every = 1 if debug else train_cfg.get("ckpt_every", 10000)
 
-    global_step = 0
+    # full train-state resume (the reference only reloads weights,
+    # SURVEY.md §5.4; we restore optimizer + step too)
+    state_dir = os.path.join(ckpt_dir, "trainstate_last")
+    if train_cfg.get("resume_state", False) and os.path.isdir(state_dir):
+        restored = ckpt.restore_checkpoint(
+            state_dir,
+            dict(params=state.params, opt_edtr=state.opt_edtr_state,
+                 opt_detnet=state.opt_detnet_state, step=state.step),
+        )
+        state = state.replace(
+            params=restored["params"], opt_edtr_state=restored["opt_edtr"],
+            opt_detnet_state=restored["opt_detnet"], step=restored["step"],
+        )
+        logger(f"resumed full train state at step {int(state.step)}")
+
+    global_step = int(state.step)
     key = jax.random.PRNGKey(train_cfg.get("seed", 231))
     t0 = time.time()
     while global_step < max_steps:
@@ -181,6 +196,11 @@ def edtr_train(cfg_path: str, debug: bool = False, seed: Optional[int] = None):
                 if "swinir" in state.params:
                     save["swinir"] = state.params["swinir"]
                 ckpt.save_submodules(ckpt_dir, save, step=global_step)
+                ckpt.save_checkpoint(
+                    state_dir,
+                    dict(params=state.params, opt_edtr=state.opt_edtr_state,
+                         opt_detnet=state.opt_detnet_state, step=state.step),
+                )
                 logger(f"checkpoints saved at step {global_step}")
             if global_step >= max_steps:
                 break
