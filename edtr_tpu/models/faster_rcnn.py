@@ -414,7 +414,8 @@ class FasterRCNN(nn.Module):
             fpn_feats = fpn(feats_all)  # ['0','1','2','3','pool']
             pool_levels = [0, 1, 2, 3]
 
-        fpn_feats = [f.astype(jnp.float32) for f in fpn_feats]
+        # FPN features stay in compute dtype (bf16 on TPU): RoIAlign gathers
+        # are the HBM hot spot; the RPN/box heads upcast their outputs.
         strides = cfg["strides"]
         num_anchors = len(cfg["anchor_sizes"][0]) * len(cfg["aspect_ratios"][0])
 

@@ -102,20 +102,35 @@ def multiscale_roi_align(
     spatial_scales: Sequence[float],
     output_size: int = 7,
     sampling_ratio: int = 2,
+    chunk: int = 128,
 ) -> jnp.ndarray:
     """Multi-level RoIAlign one image; feats are per-level (H_l, W_l, C).
 
     Parity: ``MultiScaleRoIAlign`` over FPN maps — each RoI pools from the
     level chosen by the area heuristic. All levels are computed and combined
-    by mask (static shapes; L is 2-4).
+    by mask (static shapes; L is 2-4). RoIs are processed in ``chunk``-sized
+    groups under ``lax.map`` so the bilinear corner gathers stay bounded
+    (~chunk * 49 * sr² * C floats instead of N's worth at once).
     """
     import math
 
     k_levels = [int(-math.log2(sc)) for sc in spatial_scales]
-    levels = fpn_level_for_rois(boxes, k_levels[0], k_levels[-1])
-    out = None
-    for li, (feat, sc) in enumerate(zip(feats, spatial_scales)):
-        pooled = roi_align(feat, boxes, sc, output_size, sampling_ratio)
-        sel = (levels == li)[:, None, None, None]
-        out = jnp.where(sel, pooled, 0.0) if out is None else out + jnp.where(sel, pooled, 0.0)
-    return out
+
+    def pool_chunk(boxes_c: jnp.ndarray) -> jnp.ndarray:
+        levels = fpn_level_for_rois(boxes_c, k_levels[0], k_levels[-1])
+        out = None
+        for li, (feat, sc) in enumerate(zip(feats, spatial_scales)):
+            pooled = roi_align(feat, boxes_c, sc, output_size, sampling_ratio)
+            sel = (levels == li)[:, None, None, None]
+            contrib = jnp.where(sel, pooled, 0.0)
+            out = contrib if out is None else out + contrib
+        return out
+
+    n = boxes.shape[0]
+    if n <= chunk:
+        return pool_chunk(boxes)
+    n_pad = (n + chunk - 1) // chunk * chunk
+    boxes_p = jnp.pad(boxes, ((0, n_pad - n), (0, 0)))
+    chunks = boxes_p.reshape(n_pad // chunk, chunk, 4)
+    pooled = jax.lax.map(pool_chunk, chunks)
+    return pooled.reshape(n_pad, output_size, output_size, -1)[:n]

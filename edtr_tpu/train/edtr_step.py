@@ -121,7 +121,10 @@ class EDTRTrainState:
 
 
 def _feat_l1(fa: Dict[str, jnp.ndarray], fb: Dict[str, jnp.ndarray], keys) -> jnp.ndarray:
-    return sum(jnp.abs(fa[k] - fb[k]).mean() * 0.5 for k in keys)
+    return sum(
+        jnp.abs(fa[k].astype(jnp.float32) - fb[k].astype(jnp.float32)).mean() * 0.5
+        for k in keys
+    )
 
 
 def make_edtr_train_step(

@@ -192,3 +192,49 @@ def test_realesrgan_transform_smoke():
     assert out["LQ"].shape == (2, 64, 64, 3)
     lq = np.asarray(out["LQ"])
     assert np.isfinite(lq).all() and 0 <= lq.min() and lq.max() <= 1
+
+
+def test_edtr_train_step_with_detnet(tiny_setup):
+    from edtr_tpu.models.faster_rcnn import FasterRCNN
+    from edtr_tpu.train.edtr_step import EDTRTrainState, make_edtr_train_step
+
+    pipe, params0 = tiny_setup
+    params = jax.tree.map(jnp.copy, params0)
+    params["unet"]["out_conv"]["kernel"] = (
+        jax.random.normal(jax.random.PRNGKey(9),
+                          params["unet"]["out_conv"]["kernel"].shape) * 0.05
+    )
+    detnet = FasterRCNN(
+        num_classes=5, min_size=64, max_size=128,
+        rpn_pre_nms_top_n_train=50, rpn_post_nms_top_n_train=30,
+        rpn_pre_nms_top_n_test=50, rpn_post_nms_top_n_test=30,
+        box_batch_size_per_image=16, box_detections_per_img=5,
+    )
+    det_vars = jax.jit(detnet.init)(
+        {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 64, 64, 3))
+    )
+    params["detnet"] = det_vars
+    params["teacher_detnet"] = jax.tree.map(jnp.copy, det_vars)
+    det_ref = jax.tree.map(jnp.copy, det_vars["params"])
+
+    state = EDTRTrainState.create(pipe, params)
+    step = make_edtr_train_step(pipe, detnet=detnet)
+    batch = dict(
+        lq=jnp.ones((2, 64, 64, 3)) * 0.25,
+        gt=jnp.ones((2, 64, 64, 3)) * 0.5,
+        c_txt=jnp.zeros((2, pipe.cldm.clip.context_length, pipe.cldm.clip.width)),
+        targets=dict(
+            boxes=jnp.asarray([[[5, 5, 30, 30]]] * 2, jnp.float32),
+            labels=jnp.asarray([[1]] * 2, jnp.int32),
+            valid=jnp.ones((2, 1), bool),
+        ),
+    )
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(4))
+    for k in ("loss_hlf", "loss_det", "loss_fm"):
+        assert k in metrics and np.isfinite(float(metrics[k])), (k, metrics)
+    # the detnet half must move detnet params (SGD with momentum + wd)
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        det_ref, new_state.params["detnet"]["params"],
+    )
+    assert max(jax.tree.leaves(moved)) > 0
