@@ -63,36 +63,38 @@ def main() -> None:
             jnp.zeros((BATCH, image_size, image_size, 3)),
         )
 
-    # one fused executable (restore -> detect): bf16 params keep it inside
-    # the 16 GB HBM; on OOM fall back to restore-only and say so on stderr
-    def step(p, dv, lq, rng):
-        restored = pipe.restore(p, lq, rng, c_txt=c_txt)["restored"]
-        if dv is not None:
-            return restored, detnet.apply(dv, restored)[0]["scores"]
-        return restored, None
-
+    # two executables (restore | detect), timed back-to-back: a single fused
+    # graph's buffer assignment exceeds HBM (restore holds scan state while
+    # the detector's buffers are live); sequential executables share the chip
+    # with restore temps freed between dispatches.
+    restore_fn = jax.jit(
+        lambda p, lq, rng: pipe.restore(p, lq, rng, c_txt=c_txt)["restored"]
+    )
+    detect_fn = (
+        jax.jit(lambda dv, x: detnet.apply(dv, x)[0]["scores"])
+        if detnet is not None
+        else None
+    )
     lq = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, image_size, image_size, 3))
     rng = jax.random.PRNGKey(231)
 
-    fn = jax.jit(step)
-    try:
-        out, _ = fn(params, det_vars, lq, rng)
-        out.block_until_ready()  # compile + warm
-    except Exception as e:
-        if det_vars is None:
-            raise
-        import sys
+    out = restore_fn(params, lq, rng)
+    out.block_until_ready()
+    if detect_fn is not None:
+        try:
+            detect_fn(det_vars, out).block_until_ready()
+        except Exception as e:
+            import sys
 
-        print(f"# detect stage dropped: {type(e).__name__}", file=sys.stderr, flush=True)
-        detnet = det_vars = None
-        fn = jax.jit(step)
-        out, _ = fn(params, None, lq, rng)
-        out.block_until_ready()
+            print(f"# detect stage dropped: {type(e).__name__}", file=sys.stderr, flush=True)
+            detnet = det_vars = detect_fn = None
 
     t0 = time.time()
     for i in range(ITERS):
-        out, scores = fn(params, det_vars, jnp.clip(out, 0, 1), jax.random.fold_in(rng, i))
-    jax.block_until_ready(out)
+        out = restore_fn(params, jnp.clip(out, 0, 1), jax.random.fold_in(rng, i))
+        if detect_fn is not None:
+            scores = detect_fn(det_vars, out)
+    jax.block_until_ready(out if detect_fn is None else (out, scores))
     dt = (time.time() - t0) / ITERS
 
     img_s = BATCH / dt

@@ -123,8 +123,15 @@ def edtr_train(cfg_path: str, debug: bool = False, seed: Optional[int] = None):
         learning_rate_detnet=train_cfg.get("learning_rate_detnet", 5e-3),
         train_steps=train_cfg.get("train_steps", 10000),
     )
+    # data-parallel mesh over all local devices (reference: DDP, SURVEY §2.7)
+    mesh = None
+    if jax.device_count() > 1:
+        from edtr_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.device_count())
+        logger(f"data-parallel mesh over {jax.device_count()} devices")
     step_fn = make_edtr_train_step(
-        pipe, detnet=detnet,
+        pipe, detnet=detnet, mesh=mesh,
         weight_hlf=train_cfg.get("weight_hlf", 0.5),
         weight_det=train_cfg.get("weight_det", 1.0),
         weight_fm=train_cfg.get("weight_fm", 0.2),

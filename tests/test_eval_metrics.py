@@ -221,3 +221,24 @@ def test_nan_guard():
     nan_guard({"x": jnp.ones(3)})
     with _pytest.raises(FloatingPointError):
         nan_guard({"x": jnp.asarray([1.0, np.nan])})
+
+
+def test_tiled_model_fn_slices_hint():
+    """tiled_model_fn must hand each tile the matching c_img slice
+    (utils/sampler.py:288-303 parity)."""
+    from edtr_tpu.utils.tiling import tiled_model_fn
+
+    g = np.random.default_rng(3)
+    c_img = jnp.asarray(g.random((1, 16, 16, 4)), jnp.float32)
+
+    # model that returns x + c_img: correct tiling reproduces the full map
+    def model_fn(x, t, cond):
+        return x + cond["c_img"]
+
+    x = jnp.asarray(g.random((1, 16, 16, 4)), jnp.float32)
+    cond = {"c_txt": jnp.zeros((1, 4, 8)), "c_img": c_img}
+    tiled = tiled_model_fn(model_fn, tile_size=8, tile_stride=4)
+    out = tiled(x, jnp.zeros((1,), jnp.int32), cond)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(x + c_img), rtol=1e-5, atol=1e-5
+    )
