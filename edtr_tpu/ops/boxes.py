@@ -108,35 +108,58 @@ def decode_boxes(
 
 # -- NMS ----------------------------------------------------------------------
 
+NMS_CHUNK = 256
+
+
 def nms_mask(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     iou_threshold: float,
     valid: jnp.ndarray = None,
+    chunk: int = NMS_CHUNK,
 ) -> jnp.ndarray:
     """Greedy NMS keep-mask over fixed-size (N,4)/(N,) inputs.
 
-    O(N²) IoU matrix + sequential greedy selection via ``fori_loop`` — the
-    XLA replacement for torchvision's CUDA ``nms`` kernel. Returns a boolean
-    keep mask aligned with the (unsorted) inputs.
+    Chunked greedy NMS (the standard TPU formulation): boxes sort by score,
+    then per score-chunk (a) a short sequential pass resolves intra-chunk
+    suppression, (b) one vectorized (chunk, N) IoU pass suppresses all later
+    boxes — exact greedy semantics with O(chunk·N) live memory. A naive
+    monolithic ``fori_loop`` version blew up to ~13 GB of XLA temps once
+    vmapped over the batch; this stays in the tens of MB.
+    Returns a boolean keep mask aligned with the (unsorted) inputs.
     """
     n = boxes.shape[0]
     if valid is None:
         valid = jnp.ones((n,), bool)
     order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
-    sorted_boxes = boxes[order]
-    sorted_valid = valid[order]
-    iou = box_iou(sorted_boxes, sorted_boxes)
+    sb = boxes[order]
+    keep = valid[order]
 
-    def body(i, keep):
-        # keep[i] stays True only if not suppressed by an earlier kept box
-        sup = (iou[:, i] > iou_threshold) & keep & (jnp.arange(n) < i)
-        keep_i = keep[i] & ~jnp.any(sup)
-        return keep.at[i].set(keep_i)
+    chunk = min(chunk, n)
+    n_pad = (n + chunk - 1) // chunk * chunk
+    sb = jnp.pad(sb, ((0, n_pad - n), (0, 0)))
+    keep = jnp.pad(keep, (0, n_pad - n))
+    positions = jnp.arange(n_pad)
 
-    keep_sorted = jax.lax.fori_loop(0, n, body, sorted_valid)
-    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
-    return keep
+    for c in range(n_pad // chunk):
+        start = c * chunk
+        cb = jax.lax.dynamic_slice(sb, (start, 0), (chunk, 4))
+        ck = jax.lax.dynamic_slice(keep, (start,), (chunk,))
+        intra = box_iou(cb, cb)  # (chunk, chunk)
+
+        def body(i, kc):
+            sup = (intra[:, i] > iou_threshold) & kc & (jnp.arange(chunk) < i)
+            return kc.at[i].set(kc[i] & ~jnp.any(sup))
+
+        ck = jax.lax.fori_loop(0, chunk, body, ck)
+        keep = jax.lax.dynamic_update_slice(keep, ck, (start,))
+        # vectorized: kept boxes of this chunk suppress all later boxes
+        cross = box_iou(cb, sb)  # (chunk, n_pad)
+        suppressed = jnp.any((cross > iou_threshold) & ck[:, None], axis=0)
+        keep = keep & ~(suppressed & (positions >= start + chunk))
+
+    keep = keep[:n]
+    return jnp.zeros((n,), bool).at[order].set(keep)
 
 
 def batched_nms_mask(

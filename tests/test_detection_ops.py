@@ -107,3 +107,34 @@ def test_balanced_sampler_counts():
     assert n_pos == 10  # only 10 positives available (cap 32)
     assert n_neg == 64 - n_pos
     assert not bool((sp & ~pos).any()) and not bool((sn & ~neg).any())
+
+
+def test_chunked_nms_equals_naive_greedy():
+    """Chunked NMS must reproduce exact sequential greedy semantics."""
+    g = np.random.default_rng(7)
+    n = 300
+    centers = g.random((n, 2)) * 80
+    wh = g.random((n, 2)) * 30 + 5
+    boxes = np.concatenate([centers, centers + wh], axis=1).astype(np.float32)
+    scores = g.random(n).astype(np.float32)
+    valid = g.random(n) > 0.1
+
+    def naive(boxes, scores, valid, t):
+        order = np.argsort(-np.where(valid, scores, -np.inf))
+        keep = np.zeros(n, bool)
+        kept = []
+        for i in order:
+            if not valid[i]:
+                continue
+            iou = np.asarray(B.box_iou(jnp.asarray(boxes[i][None]),
+                                       jnp.asarray(boxes[kept])))[0] if kept else np.zeros(0)
+            if not (iou > t).any():
+                keep[i] = True
+                kept.append(i)
+        return keep
+
+    for t in (0.3, 0.5, 0.7):
+        ours = np.asarray(B.nms_mask(jnp.asarray(boxes), jnp.asarray(scores), t,
+                                     jnp.asarray(valid), chunk=64))
+        ref = naive(boxes, scores, valid, t)
+        np.testing.assert_array_equal(ours, ref, err_msg=f"t={t}")
