@@ -25,7 +25,7 @@ import time
 os.environ.setdefault("EDTR_ENTRY_SIZE", "full")
 
 A6000_BASELINE_IMG_S = 1.55
-BATCH = int(os.environ.get("EDTR_BENCH_BATCH", "4"))
+BATCH = int(os.environ.get("EDTR_BENCH_BATCH", "8"))
 ITERS = int(os.environ.get("EDTR_BENCH_ITERS", "10"))
 WITH_DETNET = os.environ.get("EDTR_BENCH_DETNET", "1") == "1"
 

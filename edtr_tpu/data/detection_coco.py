@@ -11,7 +11,6 @@ from __future__ import annotations
 import io
 import os
 import random
-import time
 from typing import Any, Mapping, Optional, Sequence
 
 import numpy as np

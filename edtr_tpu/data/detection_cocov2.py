@@ -15,7 +15,7 @@ import math
 import os
 import random
 import time
-from typing import Any, Mapping, Optional, Sequence
+from typing import Any, Mapping
 
 import numpy as np
 from PIL import Image

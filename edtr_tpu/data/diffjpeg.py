@@ -17,7 +17,6 @@ import itertools
 from functools import lru_cache
 from typing import Union
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

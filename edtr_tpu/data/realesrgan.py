@@ -19,7 +19,7 @@ and jax keys on device (noise), mirroring the reference's mixed RNG.
 from __future__ import annotations
 
 import random as pyrandom
-from typing import Any, Dict, List, Optional, Sequence, Union
+from typing import Any, Dict, Sequence, Union
 
 import numpy as np
 

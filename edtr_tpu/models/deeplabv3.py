@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from edtr_tpu.models.mobilenetv3 import ConvBNAct, MobileNetV3, _bn
+from edtr_tpu.models.mobilenetv3 import ConvBNAct, MobileNetV3
 from edtr_tpu.models.resnet import ResNet, normalize_imagenet
 
 Dtype = Any

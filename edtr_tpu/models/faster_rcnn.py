@@ -28,7 +28,6 @@ TPU-first redesign (SURVEY.md §7 "hard parts" — no dynamic shapes):
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -36,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from edtr_tpu.models.mobilenetv3 import ConvBNAct, MobileNetV3
+from edtr_tpu.models.mobilenetv3 import MobileNetV3
 from edtr_tpu.models.resnet import ResNet, IMAGENET_MEAN, IMAGENET_STD
 from edtr_tpu.ops import boxes as box_ops
 from edtr_tpu.ops.roi_align import multiscale_roi_align

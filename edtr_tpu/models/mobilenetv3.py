@@ -18,7 +18,7 @@ BatchNorm: eps 1e-3, torch momentum 0.01 (flax momentum 0.99).
 
 from __future__ import annotations
 
-from typing import Any, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

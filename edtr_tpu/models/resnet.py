@@ -15,7 +15,7 @@ BatchNorm: torch defaults (eps 1e-5, torch-momentum 0.1 == flax momentum
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ relative-embedding grid and boolean shift masks (scunet.py:33-51).
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,6 @@ N≤4096 × D=64 fp32 = 1 MB each, well under the 16 MB VMEM budget).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

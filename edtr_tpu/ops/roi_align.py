@@ -14,7 +14,7 @@ points per bin axis, average pooling, zero outside the feature map.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ The timestep schedule is the EDTR rule
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

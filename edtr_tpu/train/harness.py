@@ -17,7 +17,7 @@ from __future__ import annotations
 import bisect
 import itertools
 from collections import defaultdict
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 

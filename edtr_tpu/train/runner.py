@@ -10,7 +10,6 @@ under ``main/`` call these functions.
 
 from __future__ import annotations
 
-import math
 import os
 import time
 from typing import Any, Dict, Optional
@@ -20,8 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from edtr_tpu.config import Config, instantiate_from_config, load_config
-from edtr_tpu.pipeline import EDTRPipeline, build_pipeline_from_config
-from edtr_tpu.train.harness import collate_fn, make_dataloader, pad_annots, prepare_batch
+from edtr_tpu.pipeline import build_pipeline_from_config
+from edtr_tpu.train.harness import make_dataloader, pad_annots, prepare_batch
 from edtr_tpu.utils.logging_utils import prepare_environment
 from edtr_tpu.utils import checkpoint as ckpt
 from edtr_tpu.utils import convert as C

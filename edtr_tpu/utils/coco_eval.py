@@ -17,7 +17,7 @@ API shape mirrors the reference:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

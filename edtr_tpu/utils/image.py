@@ -10,7 +10,7 @@ All functions are pure jnp over NHWC tensors and jit-safe.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ import os
 import random
 import sys
 import time
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 
 def flops_estimate(fn: Callable, *args, **kwargs) -> Dict[str, float]:
@@ -65,7 +65,6 @@ def nan_guard(tree: Any, name: str = "") -> None:
     VAE NaN check, utils/tilevae/tilevae.py:62-69 — here it is generic)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
