@@ -94,7 +94,11 @@ def main() -> None:
         out = restore_fn(params, jnp.clip(out, 0, 1), jax.random.fold_in(rng, i))
         if detect_fn is not None:
             scores = detect_fn(det_vars, out)
-    jax.block_until_ready(out if detect_fn is None else (out, scores))
+    # force full materialization: on the axon tunnel, block_until_ready can
+    # return before queued work completes; a host read cannot
+    sink = float(out.astype(jnp.float32).mean())
+    if detect_fn is not None:
+        sink += float(scores.astype(jnp.float32).mean())
     dt = (time.time() - t0) / ITERS
 
     img_s = BATCH / dt
