@@ -44,6 +44,45 @@ class COCOIndex:
         return [self.imgs[i] for i in ids]
 
 
+def convert_coco_annotations(anno: List[dict], h: int, w: int) -> Dict:
+    """Raw COCO annotation list -> {boxes(xyxy), labels, masks, area,
+    iscrowd[, keypoints]} numpy target dict.
+
+    Parity: ``ConvertCocoPolysToMask`` (datasets/utils_coco.py:36-88) —
+    drops crowd annotations, clamps boxes to the image, rasterizes polygon
+    segmentations, keeps only positive-area boxes.
+    """
+    import numpy as np
+
+    from edtr_tpu.data.coco_mask import convert_coco_poly_to_mask
+
+    anno = [obj for obj in anno if obj.get("iscrowd", 0) == 0]
+    boxes = np.asarray([obj["bbox"] for obj in anno], np.float32).reshape(-1, 4)
+    boxes[:, 2:] += boxes[:, :2]
+    boxes[:, 0::2] = boxes[:, 0::2].clip(0, w)
+    boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
+    labels = np.asarray([obj["category_id"] for obj in anno], np.int64)
+    masks = convert_coco_poly_to_mask([obj["segmentation"] for obj in anno], h, w)
+
+    keypoints = None
+    if anno and "keypoints" in anno[0]:
+        keypoints = np.asarray([obj["keypoints"] for obj in anno], np.float32)
+        if len(keypoints):
+            keypoints = keypoints.reshape(len(keypoints), -1, 3)
+
+    keep = (boxes[:, 3] > boxes[:, 1]) & (boxes[:, 2] > boxes[:, 0])
+    target = dict(
+        boxes=boxes[keep],
+        labels=labels[keep],
+        masks=masks[keep],
+        area=np.asarray([obj.get("area", 0.0) for obj in anno], np.float64),
+        iscrowd=np.asarray([obj.get("iscrowd", 0) for obj in anno], np.int64),
+    )
+    if keypoints is not None:
+        target["keypoints"] = keypoints[keep]
+    return target
+
+
 def gt_from_coco_index(coco: COCOIndex) -> Dict:
     """COCOIndex -> the {image_id: {boxes, labels, iscrowd, area}} dict our
     CocoEvaluator consumes (xywh -> xyxy)."""
@@ -77,7 +116,7 @@ def gt_from_dataset(dataset) -> Dict:
         item = dataset[i]
         annot = item[2]
         boxes = np.asarray(annot["boxes"], np.float64).reshape(-1, 4)
-        out[annot["image_id"]] = dict(
+        entry = dict(
             boxes=boxes,
             labels=np.asarray(annot["labels"], np.int64),
             iscrowd=np.asarray(annot.get("iscrowd", np.zeros(len(boxes))), np.int64),
@@ -86,4 +125,15 @@ def gt_from_dataset(dataset) -> Dict:
                 np.float64,
             ),
         )
+        if "masks" in annot:  # utils_coco.py:153-169: RLE-encode instance masks
+            from edtr_tpu.data.coco_mask import rle_compress, rle_encode_mask
+
+            entry["segmentation"] = [
+                {
+                    "size": r["size"],
+                    "counts": rle_compress(r["counts"]),
+                }
+                for r in (rle_encode_mask(np.asarray(m)) for m in annot["masks"])
+            ]
+        out[annot["image_id"]] = entry
     return out

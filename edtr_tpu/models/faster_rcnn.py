@@ -678,3 +678,74 @@ def fasterrcnn_resnet50_fpn_v2(
         backbone_type="resnet50_fpn_v2",
         dtype=dtype,
     )
+
+
+def detnet_trainable_mask(
+    det_params,
+    backbone_type: str = "mobilenet_v3_large_fpn",
+    trainable_layers: int = 3,
+):
+    """Bool pytree over the detnet "params" collection: True = trainable.
+
+    Mirrors the torchvision pretrained-backbone freezing the reference
+    inherits (``model/faster_rcnn.py:658-668`` for mobilenet:
+    ``freeze_before = stage_indices[num_stages - trainable_layers]``;
+    ``:806-816`` for resnet: train only
+    ``["layer4","layer3","layer2","layer1","conv1"][:trainable_layers]``).
+    In torch, frozen params simply never receive grads, so SGD (incl. its
+    weight decay) leaves them untouched — pair this mask with
+    ``optax.multi_transform({True: tx, False: optax.set_to_zero()})``.
+    BatchNorm parity needs no mask: the detnet is applied without mutable
+    ``batch_stats``, which is exactly FrozenBatchNorm semantics.
+    """
+    from .mobilenetv3 import MobileNetV3
+
+    if backbone_type == "mobilenet_v3_large_fpn":
+        si = MobileNetV3().stage_indices()
+        num_stages = len(si)
+        n_feats = si[-1] + 1  # modules features_0 .. features_{n_feats-1}
+        freeze_before = (
+            n_feats if trainable_layers == 0 else si[num_stages - trainable_layers]
+        )
+
+        def module_trainable(name: str) -> bool:
+            if not name.startswith("features_"):
+                return True
+            return int(name.rsplit("_", 1)[1]) >= freeze_before
+
+    else:  # resnet50_fpn_v2
+        to_train = ["layer4", "layer3", "layer2", "layer1", "conv1"][:trainable_layers]
+
+        def module_trainable(name: str) -> bool:
+            return any(name.startswith(p) for p in to_train)
+
+    def mark(subtree, trainable: bool):
+        return jax.tree.map(lambda _: trainable, subtree)
+
+    out = {}
+    for top, sub in det_params.items():
+        if top != "body":
+            out[top] = mark(sub, True)
+        else:
+            out[top] = {
+                name: mark(m, module_trainable(name)) for name, m in sub.items()
+            }
+    return out
+
+
+def mask_detnet_tx(tx, det_params, trainable_layers: int = 3):
+    """Wrap an optimizer so frozen backbone stages get zero updates.
+
+    No-op (returns ``tx`` unchanged) when ``det_params`` is not a FasterRCNN
+    "params" tree — cls/seg task nets have no torchvision freezing
+    (reference trains their full parameter list).
+    """
+    import optax
+
+    if not (isinstance(det_params, dict) and "body" in det_params
+            and "rpn_head" in det_params):
+        return tx
+    bt = ("mobilenet_v3_large_fpn" if "features_0" in det_params["body"]
+          else "resnet50_fpn_v2")
+    mask = detnet_trainable_mask(det_params, bt, trainable_layers)
+    return optax.multi_transform({True: tx, False: optax.set_to_zero()}, mask)

@@ -109,6 +109,11 @@ class EDTRTrainState:
         # only the "params" collection is optimized
         det_vars = params.get("detnet", {})
         det_params = det_vars.get("params", det_vars) if det_vars else {}
+        if det_params:
+            # torchvision pretrained-backbone freezing (trainable_layers=3)
+            from ..models.faster_rcnn import mask_detnet_tx
+
+            tx_detnet = mask_detnet_tx(tx_detnet, det_params)
         return cls(
             params=params,
             opt_edtr_state=tx_edtr.init(trainable),

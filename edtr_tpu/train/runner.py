@@ -326,8 +326,13 @@ def task_train(
     elif recipe == "sr4ir":
         sw_state = R.SimpleTrainState.create(
             sw_params, R.cosine_tx("adamw", train_cfg.get("learning_rate_swinir", lr), steps))
+        from edtr_tpu.models.faster_rcnn import mask_detnet_tx
+
         t_state = R.SimpleTrainState.create(
-            net_params, R.cosine_tx("sgd", train_cfg.get("learning_rate_task", lr), steps))
+            net_params,
+            mask_detnet_tx(
+                R.cosine_tx("sgd", train_cfg.get("learning_rate_task", lr), steps),
+                net_params["params"]))
         state = (sw_state, t_state)
         step_fn = R.make_sr4ir_train_step(
             swinir, feats_fn, loss_fn, pix_weight=train_cfg.get("pix_weight", 255.0))
@@ -335,7 +340,11 @@ def task_train(
         pre = None
         if recipe == "swinir":
             pre = lambda lq: swinir.apply({"params": sw_params}, lq)
-        state = R.SimpleTrainState.create(net_params, R.cosine_tx("sgd", lr, steps))
+        from edtr_tpu.models.faster_rcnn import mask_detnet_tx
+
+        state = R.SimpleTrainState.create(
+            net_params, mask_detnet_tx(R.cosine_tx("sgd", lr, steps),
+                                       net_params["params"]))
         step_fn = R.make_task_train_step(
             loss_fn, pre_restore=pre,
             use_gt=bool(cfg["dataset"].get("use_gt", False)),

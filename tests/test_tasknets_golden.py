@@ -119,3 +119,64 @@ def test_fasterrcnn_converter_structure():
             bad_shape.append((key, c_flat[key].shape, tuple(leaf.shape)))
     assert not missing, missing[:5]
     assert not bad_shape, bad_shape[:5]
+
+
+def test_detnet_trainable_mask_parity():
+    """The optax freezing mask must freeze exactly the features_{i} the
+    reference's ``_mobilenet_extractor`` freezes (requires_grad=False) for
+    trainable_layers in {0, 3, 6} (``model/faster_rcnn.py:658-668``)."""
+    from edtr_tpu.models.faster_rcnn import (
+        detnet_trainable_mask, fasterrcnn_mobilenet_v3_large_fpn, mask_detnet_tx,
+    )
+
+    ref_cn = load_ref_module("model.faster_rcnn")
+    ref_mn = load_ref_module("model.mobilenetv3")
+
+    det = fasterrcnn_mobilenet_v3_large_fpn(num_classes=5)
+    variables = jax.jit(det.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3))
+    )
+    params = variables["params"]
+
+    for tl in (0, 3, 6):
+        m = ref_mn.mobilenet_v3_large()
+        ref_cn._mobilenet_extractor(m, True, tl)
+        ref_frozen = {
+            f"features_{i}"
+            for i, b in enumerate(m.features)
+            if any(not p.requires_grad for p in b.parameters())
+        }
+        mask = detnet_trainable_mask(params, "mobilenet_v3_large_fpn", tl)
+        ours_frozen = {
+            name
+            for name, sub in mask["body"].items()
+            if not all(jax.tree.leaves(sub))
+        }
+        assert ours_frozen == ref_frozen, (tl, ours_frozen ^ ref_frozen)
+        # non-body heads always train
+        for top, sub in mask.items():
+            if top != "body":
+                assert all(jax.tree.leaves(sub)), top
+
+    # functional: frozen leaves get zero updates, trainable leaves move
+    import optax
+
+    tx = mask_detnet_tx(optax.sgd(1e-2), params)
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    mask3 = detnet_trainable_mask(params, "mobilenet_v3_large_fpn", 3)
+    flat_u = jax.tree_util.tree_flatten_with_path(updates)[0]
+    flat_m = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_flatten_with_path(mask3)[0]
+    )
+    n_frozen = 0
+    for path, u in flat_u:
+        key = jax.tree_util.keystr(path)
+        if flat_m[key]:
+            assert float(jnp.abs(u).max()) > 0, key
+        else:
+            assert float(jnp.abs(u).max()) == 0, key
+            n_frozen += 1
+    assert n_frozen > 0
