@@ -690,3 +690,42 @@ def split_sd_checkpoint(
                 out[name][key[len(pfx) + 1:]] = value
                 break
     return out
+
+
+# indices of the conv modules inside each lpips-package slice Sequential
+_LPIPS_ALEX_SLICES = {0: "slice1.0", 1: "slice2.3", 2: "slice3.6",
+                      3: "slice4.8", 4: "slice5.10"}
+_LPIPS_VGG_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+_LPIPS_VGG_SLICE_START = {0: 0, 1: 4, 2: 9, 3: 16, 4: 23}  # features idx per slice
+
+
+def convert_lpips(sd, net: str = "alex") -> Params:
+    """``lpips.LPIPS(net=...)`` full state dict -> models/lpips.py params.
+
+    The package keeps torchvision feature indices inside each slice
+    Sequential (``net.slice1.0.weight`` ...), and its learned heads as
+    ``lin{i}.model.1.weight`` (1,C,1,1, no bias). OIHW -> HWIO throughout.
+    """
+    sd = torch_state_dict_to_numpy(sd)
+    tower: Params = {}
+    if net == "alex":
+        for ci, loc in _LPIPS_ALEX_SLICES.items():
+            tower[f"conv{ci}"] = {
+                "kernel": sd[f"net.{loc}.weight"].transpose(2, 3, 1, 0),
+                "bias": sd[f"net.{loc}.bias"],
+            }
+    else:  # vgg16
+        slice_of = sorted(_LPIPS_VGG_SLICE_START.items())
+        for ci, fi in enumerate(_LPIPS_VGG_CONV_IDX):
+            si = max(s for s, start in slice_of if start <= fi)
+            key = f"net.slice{si + 1}.{fi}"
+            tower[f"conv{ci}"] = {
+                "kernel": sd[f"{key}.weight"].transpose(2, 3, 1, 0),
+                "bias": sd[f"{key}.bias"],
+            }
+    params: Params = {"tower": tower}
+    for i in range(5):
+        # dropout(0) is model.0; the 1x1 conv is model.1
+        w = sd.get(f"lin{i}.model.1.weight", sd.get(f"lins.{i}.model.1.weight"))
+        params[f"lin{i}"] = {"kernel": w.transpose(2, 3, 1, 0)}
+    return params

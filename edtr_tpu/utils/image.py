@@ -108,19 +108,45 @@ def calculate_psnr(
     return 10.0 * jnp.log10(1.0 / (mse + 1e-12))
 
 
-def calculate_lpips(img1: jnp.ndarray, img2: jnp.ndarray, net: str = "alex"):
-    """LPIPS placeholder (reference helper: utils/common.py:252-269).
+_LPIPS_CACHE = {}
 
-    The reference wraps the ``lpips`` pip package, which (and whose
-    pretrained AlexNet/VGG weights) is not available in this environment;
-    metric parity uses PSNR + task metrics instead. Provide weights via
-    $EDTR_LPIPS_WEIGHTS to enable a converted-jax implementation in a
-    future round.
+
+def calculate_lpips(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    net: str = "alex",
+    crop_border: int = 8,
+    weights_path: str = None,
+):
+    """Batch LPIPS on NHWC [0,1] images; parity ``utils/common.py:252-269``
+    (normalize to [-1,1], crop border, batch-wise distances).
+
+    The network is ``models/lpips.py`` (full flax implementation); the
+    pretrained perceptual weights are not bundled — provide an ``lpips``
+    package state dict via ``weights_path`` or $EDTR_LPIPS_WEIGHTS.
     """
-    raise NotImplementedError(
-        "LPIPS requires pretrained perceptual weights that are not bundled; "
-        "use calculate_psnr / task metrics (see README deviations)."
-    )
+    import os
+
+    path = weights_path or os.environ.get("EDTR_LPIPS_WEIGHTS")
+    if not path:
+        raise NotImplementedError(
+            "LPIPS needs pretrained perceptual weights: set $EDTR_LPIPS_WEIGHTS "
+            "to an `lpips` package state dict (see models/lpips.py)."
+        )
+    key = (path, net)
+    if key not in _LPIPS_CACHE:
+        from edtr_tpu.models.lpips import load_lpips
+
+        module, params = load_lpips(path, net=net)
+        _LPIPS_CACHE[key] = (module, params)
+    module, params = _LPIPS_CACHE[key]
+
+    x = img1 * 2.0 - 1.0
+    y = img2 * 2.0 - 1.0
+    if crop_border != 0:
+        x = x[:, crop_border:-crop_border, crop_border:-crop_border, :]
+        y = y[:, crop_border:-crop_border, crop_border:-crop_border, :]
+    return module.apply({"params": params}, x, y)
 
 
 def rgb2ycbcr_y(img: jnp.ndarray) -> jnp.ndarray:
