@@ -729,3 +729,71 @@ def convert_lpips(sd, net: str = "alex") -> Params:
         w = sd.get(f"lin{i}.model.1.weight", sd.get(f"lins.{i}.model.1.weight"))
         params[f"lin{i}"] = {"kernel": w.transpose(2, 3, 1, 0)}
     return params
+
+
+def convert_plain_cnn(sd) -> Params:
+    """Generic torch->flax conversion for CNNs whose flax module names mirror
+    the torch attribute names with Sequential indices merged by underscore
+    (``RRDB_trunk.0.RDB1.conv1`` -> ``RRDB_trunk_0 / RDB1 / conv1``).
+    4-D weights transpose OIHW->HWIO; 1-/2-D pass through as bias/kernel.
+    """
+    params: Params = {}
+    for k, v in torch_state_dict_to_numpy(sd).items():
+        parts = k.split(".")
+        names: list = []
+        for p in parts[:-1]:
+            if p.isdigit() and names:
+                names[-1] = f"{names[-1]}_{p}"
+            else:
+                names.append(p)
+        node = params
+        for n in names:
+            node = node.setdefault(n, {})
+        leaf = parts[-1]
+        if leaf == "weight" and v.ndim == 4:
+            node["kernel"] = v.transpose(2, 3, 1, 0)
+        elif leaf == "weight" and v.ndim == 2:
+            node["kernel"] = v.T
+        else:
+            node[leaf] = v
+    return params
+
+
+def convert_rrdbnet(sd) -> Params:
+    """BSRNet/RRDBNet state dict -> models/bsrnet.py params
+    (``model/bsrnet.py:75-113``: conv_first[.1], RRDB_trunk.{i}.RDB{j}.conv{k},
+    trunk_conv, upconv1/2, HRconv, conv_last)."""
+    return convert_plain_cnn(sd)
+
+
+def convert_edsr(sd, n_resblocks: int = 32, unshuffle: bool = False) -> Params:
+    """EDSR state dict -> models/edsr.py params (``model/edsr.py:79-129``).
+
+    sub_mean/add_mean are fixed DIV2K MeanShift convs — folded into the flax
+    module's constant mean math, so their keys are skipped. body.{i}.body.0/2
+    -> body_{i}.conv1/conv2; tail.0.{2j} (Upsampler convs) -> up_{j};
+    tail.1 -> tail; head.{1 if unshuffle else 0} -> head.
+    """
+    sdn = torch_state_dict_to_numpy(sd)
+
+    def cv(key: str) -> Params:
+        return {
+            "kernel": sdn[f"{key}.weight"].transpose(2, 3, 1, 0),
+            "bias": sdn[f"{key}.bias"],
+        }
+
+    params: Params = {"head": cv("head.1" if unshuffle else "head.0")}
+    for i in range(n_resblocks):
+        params[f"body_{i}"] = {
+            "conv1": cv(f"body.{i}.body.0"),
+            "conv2": cv(f"body.{i}.body.2"),
+        }
+    params["body_conv"] = cv(f"body.{n_resblocks}")
+    up_keys = sorted(
+        (k for k in sdn if k.startswith("tail.0.") and k.endswith(".weight")),
+        key=lambda s: int(s.split(".")[2]),
+    )
+    for j, k in enumerate(up_keys):
+        params[f"up_{j}"] = cv(k[: -len(".weight")])
+    params["tail"] = cv("tail.1")
+    return params

@@ -56,3 +56,78 @@ def test_swinir_pixelshuffle_branch():
     v = jax.jit(net.init)(jax.random.PRNGKey(0), x)
     y = net.apply(v, x)
     assert y.shape == (1, 32, 32, 3)
+
+
+def test_rrdbnet_golden_vs_reference():
+    """Full RRDBNet golden (sf=4 and the unshuffle x8 variant) vs the
+    reference torch module through convert_rrdbnet."""
+    import numpy as np
+    import torch
+    from ref_loader import load_ref_module
+    from edtr_tpu.utils.convert import convert_rrdbnet
+    from edtr_tpu.models.bsrnet import RRDBNet
+
+    ref_mod = load_ref_module("model.bsrnet")
+
+    for unshuffle, sf, in_size in ((False, 4, 16), (True, 8, 32)):
+        m = ref_mod.RRDBNet(
+            in_nc=3, out_nc=3, nf=32, nb=2, gc=16,
+            sf=sf if not unshuffle else 4,
+            unshuffle=unshuffle, unshuffle_scale=8 if unshuffle else None,
+        )
+        g = torch.Generator().manual_seed(3)
+        with torch.no_grad():
+            for p in m.parameters():
+                p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+        m.eval()
+
+        x = torch.rand(1, 3, in_size, in_size, generator=g)
+        with torch.no_grad():
+            ref_out = m(x).numpy()
+
+        net = RRDBNet(
+            in_nc=3, out_nc=3, nf=32, nb=2, gc=16,
+            sf=4 if unshuffle else sf,
+            unshuffle=unshuffle, unshuffle_scale=8 if unshuffle else None,
+        )
+        params = convert_rrdbnet(m.state_dict())
+        ours = net.apply({"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(ours).transpose(0, 3, 1, 2), ref_out, rtol=3e-3, atol=3e-3
+        )
+
+
+def test_edsr_golden_vs_reference():
+    import numpy as np
+    import torch
+    from ref_loader import load_ref_module
+    from edtr_tpu.utils.convert import convert_edsr
+    from edtr_tpu.models.edsr import EDSR
+
+    ref_mod = load_ref_module("model.edsr")
+
+    for unshuffle in (False, True):
+        m = ref_mod.EDSR(
+            n_resblocks=2, n_feats=16, scale=4, res_scale=0.1,
+            unshuffle=unshuffle, unshuffle_scale=8 if unshuffle else None,
+        )
+        g = torch.Generator().manual_seed(5)
+        with torch.no_grad():
+            for n, p in m.named_parameters():
+                if "mean" not in n:
+                    p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+        m.eval()
+
+        in_size = 32 if unshuffle else 12
+        x = torch.rand(1, 3, in_size, in_size, generator=g)
+        with torch.no_grad():
+            ref_out = m(x).numpy()
+
+        net = EDSR(n_resblocks=2, n_feats=16, scale=4, res_scale=0.1,
+                   unshuffle=unshuffle, unshuffle_scale=8 if unshuffle else None)
+        params = convert_edsr(m.state_dict(), n_resblocks=2, unshuffle=unshuffle)
+        ours = net.apply({"params": params},
+                         jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(ours).transpose(0, 3, 1, 2), ref_out, rtol=3e-3, atol=3e-3
+        )
