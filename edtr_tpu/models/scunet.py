@@ -54,7 +54,10 @@ class WMSA(nn.Module):
         b, h, w, c = x.shape
         p = self.window_size
         n_heads = self.dim // self.head_dim
-        if self.shifted:
+        # reference Block.__init__ forces type='W' when the (static) feature
+        # resolution is <= window_size (model/scunet.py:98-101)
+        shifted = self.shifted and h > p
+        if shifted:
             x = jnp.roll(x, (-(p // 2), -(p // 2)), axis=(1, 2))
         hw, ww = h // p, w // p
         xw = x.reshape(b, hw, p, ww, p, c).transpose(0, 1, 3, 2, 4, 5)
@@ -74,7 +77,7 @@ class WMSA(nn.Module):
         rel = _rel_index(p)
         bias = table[:, rel[:, :, 0], rel[:, :, 1]]  # (H, p², p²)
         sim = sim + bias[None, :, None]
-        if self.shifted:
+        if shifted:
             mask = jnp.asarray(_shift_mask(hw, ww, p, p // 2))
             sim = jnp.where(mask[None, None], -jnp.inf, sim)
         probs = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
@@ -83,7 +86,7 @@ class WMSA(nn.Module):
         out = dense(self.dim, dtype=self.dtype, name="linear")(out)
         out = out.reshape(b, hw, ww, p, p, self.dim).transpose(0, 1, 3, 2, 4, 5)
         out = out.reshape(b, h, w, self.dim)
-        if self.shifted:
+        if shifted:
             out = jnp.roll(out, (p // 2, p // 2), axis=(1, 2))
         return out
 

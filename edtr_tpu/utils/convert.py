@@ -797,3 +797,53 @@ def convert_edsr(sd, n_resblocks: int = 32, unshuffle: bool = False) -> Params:
         params[f"up_{j}"] = cv(k[: -len(".weight")])
     params["tail"] = cv("tail.1")
     return params
+
+
+def convert_scunet(sd) -> Params:
+    """SCUNet state dict -> models/scunet.py params (``model/scunet.py``).
+
+    Stage Sequentials map as: the trailing strided conv of each m_down ->
+    ``_pool``; the leading ConvTranspose of each m_up -> ``_t`` (block
+    indices shift down by one); ``m_head.0``/``m_tail.0`` drop the index.
+    LayerNorm 1-D weights -> flax "scale"; WMSA relative_position_params
+    copy through; ConvTranspose IOHW -> HWIO.
+    """
+    params: Params = {}
+    for k, v in torch_state_dict_to_numpy(sd).items():
+        parts = k.split(".")
+        top, idx, rest = parts[0], int(parts[1]), parts[2:]
+        is_block = len(rest) > 1  # bare convs end as `m_X.i.weight`
+        if top in ("m_head", "m_tail"):
+            names = [top]
+        elif top.startswith("m_down") and not is_block:
+            names = [f"{top}_pool"]
+        elif top.startswith("m_up"):
+            names = [f"{top}_t"] if not is_block else [f"{top}_{idx - 1}"]
+        else:
+            names = [f"{top}_{idx}"]
+        for p in rest[:-1]:
+            if p.isdigit():
+                names[-1] = f"{names[-1]}_{p}"
+            else:
+                names.append(p)
+        node = params
+        for n in names:
+            node = node.setdefault(n, {})
+        leaf = rest[-1] if rest else parts[-1]
+        if leaf == "weight" and v.ndim == 4:
+            if top.startswith("m_up") and not is_block:
+                # torch ConvTranspose2d (IOHW, true transposed conv) ->
+                # flax ConvTranspose (HWIO, transpose_kernel=False):
+                # spatial flip + IOHW->HWIO is exact
+                node["kernel"] = np.ascontiguousarray(
+                    v[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+                )
+            else:
+                node["kernel"] = v.transpose(2, 3, 1, 0)
+        elif leaf == "weight" and v.ndim == 2:
+            node["kernel"] = v.T
+        elif leaf == "weight" and v.ndim == 1:
+            node["scale"] = v
+        else:
+            node[leaf] = v
+    return params

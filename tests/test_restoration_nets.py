@@ -131,3 +131,42 @@ def test_edsr_golden_vs_reference():
         np.testing.assert_allclose(
             np.asarray(ours).transpose(0, 3, 1, 2), ref_out, rtol=3e-3, atol=3e-3
         )
+
+
+def test_scunet_golden_vs_reference():
+    import numpy as np
+    import torch
+    from ref_loader import load_ref_module
+    from edtr_tpu.utils.convert import convert_scunet
+    from edtr_tpu.models.scunet import SCUNet
+
+    ref_mod = load_ref_module("model.scunet")
+
+    _scunet_case(ref_mod, [1] * 7)   # W blocks only
+    _scunet_case(ref_mod, [2] * 7)   # W + shifted (SW) blocks
+
+
+def _scunet_case(ref_mod, config):
+    import numpy as np
+    import torch
+    from edtr_tpu.utils.convert import convert_scunet
+    from edtr_tpu.models.scunet import SCUNet
+
+    m = ref_mod.SCUNet(in_nc=3, config=list(config), dim=64, input_resolution=64)
+    g = torch.Generator().manual_seed(11)
+    with torch.no_grad():
+        for p in m.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+    m.eval()
+
+    x = torch.rand(1, 3, 64, 64, generator=g)
+    with torch.no_grad():
+        ref_out = m(x).numpy()
+
+    net = SCUNet(in_nc=3, config=tuple(config), dim=64)
+    params = convert_scunet(m.state_dict())
+    ours = net.apply({"params": params},
+                     jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 3, 1, 2), ref_out, rtol=3e-3, atol=3e-3
+    )
