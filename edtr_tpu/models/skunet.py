@@ -24,6 +24,29 @@ def _adaptive_avg_pool(x: jnp.ndarray, out: int) -> jnp.ndarray:
     return x.reshape(b, out, h // out, out, w // out, c).mean(axis=(2, 4))
 
 
+def _bilinear_2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
+    """nn.Upsample(scale_factor=2, mode='bilinear', align_corners=True).
+
+    jax.image.resize is half-pixel (align_corners=False), so interpolate on
+    the corner-aligned grid explicitly (skunet.py:91 uses align_corners=True).
+    """
+    b, h, w, c = x.shape
+
+    def axis_weights(n):
+        s = jnp.linspace(0.0, n - 1.0, 2 * n)
+        i0 = jnp.floor(s).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, n - 1)
+        return i0, i1, (s - i0).astype(x.dtype)
+
+    y0, y1, wy = axis_weights(h)
+    x0, x1, wx = axis_weights(w)
+    top = x[:, y0][:, :, x0] * (1 - wx)[None, None, :, None] + \
+        x[:, y0][:, :, x1] * wx[None, None, :, None]
+    bot = x[:, y1][:, :, x0] * (1 - wx)[None, None, :, None] + \
+        x[:, y1][:, :, x1] * wx[None, None, :, None]
+    return top * (1 - wy)[None, :, None, None] + bot * wy[None, :, None, None]
+
+
 class Selector(nn.Module):
     """Spatial-attention selector; parity skunet.py:7-38."""
 
@@ -105,8 +128,7 @@ class SKUNet(nn.Module):
         x3 = down(x2, 64, "down3")
 
         def up(v, skip, out_ch, name):
-            b, h, w, c = v.shape
-            v = jax.image.resize(v, (b, h * 2, w * 2, c), "bilinear")
+            v = _bilinear_2x_align_corners(v)
             v = jnp.concatenate([skip, v], axis=-1)
             return SelectiveConv(out_ch, 3, 16, dtype=self.dtype, name=name)(v, train)
 

@@ -847,3 +847,56 @@ def convert_scunet(sd) -> Params:
         else:
             node[leaf] = v
     return params
+
+
+def convert_skunet(sd) -> Params:
+    """SKUNet state dict -> models/skunet.py variables (``model/skunet.py``).
+
+    torch wraps each selective conv in ``maxpool_conv.1`` (down path) or
+    ``conv`` (up path) Sequential shells that the flax modules inline, and
+    ``selector.fc`` is a one-layer Sequential (``fc.0``). BatchNorm splits
+    into params (scale/bias) + batch_stats (mean/var).
+    """
+    params: Params = {}
+    stats: Params = {}
+    for k, v in torch_state_dict_to_numpy(sd).items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        parts = [p for p in k.split(".") if p not in ("maxpool_conv", "conv")]
+        parts = [p for p in parts if not p.isdigit()]
+        names, leaf = parts[:-1], parts[-1]
+        if leaf in ("running_mean", "running_var"):
+            node = stats
+            leaf = {"running_mean": "mean", "running_var": "var"}[leaf]
+        else:
+            node = params
+        for n in names:
+            node = node.setdefault(n, {})
+        # the torch Selector flattens its 4x4 pooled map channel-major
+        # ((b, c, 4, 4).view(b, -1)); the NHWC module flattens spatial-major.
+        # Permute the fc rows / att_conv columns so both orderings agree.
+        sel = ".selector." in k
+        if leaf == "weight" and v.ndim == 4:
+            node["kernel"] = v.transpose(2, 3, 1, 0)
+        elif leaf == "weight" and v.ndim == 2:
+            w = v.T  # (in, out)
+            if sel and names[-1] == "fc":
+                w = w[_sel_perm(w.shape[0])]
+            elif sel and names[-1].startswith("att_conv"):
+                w = w[:, _sel_perm(w.shape[1])]
+            node["kernel"] = w
+        elif leaf == "weight" and v.ndim == 1:
+            node["scale"] = v
+        elif leaf == "bias" and sel and names[-1].startswith("att_conv"):
+            node["bias"] = v[_sel_perm(v.shape[0])]
+        else:
+            node[leaf] = v
+    return {"params": params, "batch_stats": stats}
+
+
+def _sel_perm(n: int, sa: int = 4) -> np.ndarray:
+    """Index map from NHWC spatial-major flatten (s*C + c) to the torch
+    Selector's channel-major flatten (c*sa^2 + s)."""
+    c = n // (sa * sa)
+    m = np.arange(n)
+    return (m % c) * sa * sa + m // c

@@ -170,3 +170,35 @@ def _scunet_case(ref_mod, config):
     np.testing.assert_allclose(
         np.asarray(ours).transpose(0, 3, 1, 2), ref_out, rtol=3e-3, atol=3e-3
     )
+
+
+def test_skunet_golden_vs_reference():
+    import numpy as np
+    import torch
+    from ref_loader import load_ref_module
+    from edtr_tpu.utils.convert import convert_skunet
+    from edtr_tpu.models.skunet import SKUNet
+
+    ref_mod = load_ref_module("model.skunet")
+    m = ref_mod.SKUNet()
+    g = torch.Generator().manual_seed(13)
+    with torch.no_grad():
+        for p in m.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+        for name, b in m.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(torch.randn(b.shape, generator=g) * 0.1)
+            elif name.endswith("running_var"):
+                b.copy_(torch.rand(b.shape, generator=g) * 0.5 + 0.5)
+    m.eval()
+
+    x = torch.rand(1, 3, 64, 64, generator=g)
+    with torch.no_grad():
+        ref_out = m(x).numpy()
+
+    net = SKUNet()
+    variables = convert_skunet(m.state_dict())
+    ours = net.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 3, 1, 2), ref_out, rtol=3e-3, atol=3e-3
+    )
