@@ -108,6 +108,7 @@ REGISTRY: Dict[str, str] = {
     "model.bsrnet.RRDBNet": "edtr_tpu.models.bsrnet.RRDBNet",
     "model.scunet.SCUNet": "edtr_tpu.models.scunet.SCUNet",
     "model.skunet.SKUNet": "edtr_tpu.models.skunet.SKUNet",
+    "model.edsr.EDSR": "edtr_tpu.models.edsr.EDSR",
     # task networks
     "model.resnet.ResNet": "edtr_tpu.models.resnet.ResNet",
     "model.faster_rcnn.fasterrcnn_mobilenet_v3_large_fpn":
