@@ -98,20 +98,36 @@ class RCNNTransform:
 # =============================================================================
 
 class FeaturePyramidNetwork(nn.Module):
-    """1x1 inner + top-down add + 3x3 layer convs, LastLevelMaxPool extra."""
+    """1x1 inner + top-down add + 3x3 layer convs, LastLevelMaxPool extra.
+
+    ``use_norm`` adds BatchNorm after every conv (bias dropped), matching the
+    v2 extractor's ``norm_layer=nn.BatchNorm2d`` (model/faster_rcnn.py:987;
+    Conv2dNormActivation with activation_layer=None). BN runs on running
+    stats (the reference's detnet BN is effectively frozen: is_trained=True
+    via weights_backbone -> FrozenBatchNorm for mobilenet; v2 BN stats come
+    converted and we apply without mutable batch_stats).
+    """
 
     out_channels: int = 256
     num_levels: int = 2
     extra_maxpool: bool = True
+    use_norm: bool = False
     dtype: Optional[Dtype] = None
+
+    def _bn(self, name):
+        return nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5,
+                            dtype=self.dtype, param_dtype=jnp.float32, name=name)
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
-        inner = [
-            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                    param_dtype=jnp.float32, name=f"inner_{i}")(f)
-            for i, f in enumerate(feats)
-        ]
+        inner = []
+        for i, f in enumerate(feats):
+            t = nn.Conv(self.out_channels, (1, 1), use_bias=not self.use_norm,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"inner_{i}")(f)
+            if self.use_norm:
+                t = self._bn(f"inner_bn_{i}")(t)
+            inner.append(t)
         # top-down pathway
         results = [None] * len(inner)
         last = inner[-1]
@@ -121,17 +137,18 @@ class FeaturePyramidNetwork(nn.Module):
             up = jax.image.resize(last, (last.shape[0], th, tw, last.shape[-1]), "nearest")
             last = inner[i] + up
             results[i] = last
-        outs = [
-            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    name=f"layer_{i}")(r)
-            for i, r in enumerate(results)
-        ]
+        outs = []
+        for i, r in enumerate(results):
+            t = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                        use_bias=not self.use_norm, dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"layer_{i}")(r)
+            if self.use_norm:
+                t = self._bn(f"layer_bn_{i}")(t)
+            outs.append(t)
         if self.extra_maxpool:
-            p = outs[-1]
-            p = jnp.pad(p, ((0, 0), (0, 1), (0, 1), (0, 0)), constant_values=-jnp.inf)
-            p = nn.max_pool(p, (2, 2), strides=(2, 2), padding="VALID")
-            outs.append(p)
+            # torchvision LastLevelMaxPool is F.max_pool2d(kernel=1, stride=2):
+            # a plain stride-2 subsample, NOT a real 2x2 pool.
+            outs.append(outs[-1][:, ::2, ::2, :])
         return outs
 
 
@@ -141,32 +158,37 @@ class FeaturePyramidNetwork(nn.Module):
 
 def generate_anchors(
     feat_shapes: Sequence[Tuple[int, int]],
-    strides: Sequence[int],
+    strides: Sequence[Tuple[int, int]],
     sizes: Sequence[Sequence[int]],
     aspect_ratios: Sequence[Sequence[float]],
 ) -> List[np.ndarray]:
     """Per-level anchor grids (host numpy, static shapes).
 
     Parity: ``AnchorGenerator`` (:466) — zero-centered cell anchors shifted
-    over the feature grid.
+    over the feature grid. Cell order is aspect-ratio-major (ratio outer,
+    scale inner) and base anchors are integer-rounded (half-to-even), exactly
+    matching ``generate_anchors`` (:514-530: ``ws = (w_ratios[:, None] *
+    scales[None, :]).view(-1)``; ``base_anchors.round()``) so converted RPN
+    cls/bbox channels pair with the right anchors.
     """
     out = []
-    for (fh, fw), stride, szs, ars in zip(feat_shapes, strides, sizes, aspect_ratios):
+    for (fh, fw), (stride_y, stride_x), szs, ars in zip(
+            feat_shapes, strides, sizes, aspect_ratios):
         cell = []
-        for s in szs:
-            for ar in ars:
-                h = s * math.sqrt(ar)
-                w = s / math.sqrt(ar)
-                cell.append([-w / 2, -h / 2, w / 2, h / 2])
-        cell = np.asarray(cell, np.float32)  # (A, 4)
-        ys = (np.arange(fh, dtype=np.float32)) * stride
-        xs = (np.arange(fw, dtype=np.float32)) * stride
+        for ar in ars:
+            hr = math.sqrt(ar)
+            wr = 1.0 / hr
+            for s in szs:
+                cell.append([-wr * s / 2, -hr * s / 2, wr * s / 2, hr * s / 2])
+        cell = np.round(np.asarray(cell, np.float32))  # (A, 4), torch .round()
+        ys = (np.arange(fh, dtype=np.float32)) * stride_y
+        xs = (np.arange(fw, dtype=np.float32)) * stride_x
         shift_x, shift_y = np.meshgrid(xs, ys)
         shifts = np.stack(
             [shift_x.ravel(), shift_y.ravel(), shift_x.ravel(), shift_y.ravel()], axis=1
         )  # (HW, 4)
         anchors = (shifts[:, None, :] + cell[None, :, :]).reshape(-1, 4)
-        out.append(np.round(anchors * 1e4) / 1e4)
+        out.append(anchors)
     return out
 
 
@@ -215,7 +237,12 @@ class TwoMLPHead(nn.Module):
 
 
 class FastRCNNConvFCHead(nn.Module):
-    """v2 box head: 4x conv3x3+GN+relu then fc (fasterrcnn_resnet50_fpn_v2)."""
+    """v2 box head: 4x [conv3x3 (no bias) + BatchNorm + relu] then fc.
+
+    Parity: ``FastRCNNConvFCHead`` (model/faster_rcnn.py:401-431) as built by
+    ``fasterrcnn_resnet50_fpn_v2`` (:990-992) with norm_layer=nn.BatchNorm2d
+    (Conv2dNormActivation => conv bias=False, BN, ReLU). BN applies running
+    stats (converted from the checkpoint)."""
 
     representation_size: int = 1024
     conv_channels: int = 256
@@ -228,9 +255,9 @@ class FastRCNNConvFCHead(nn.Module):
             x = nn.Conv(self.conv_channels, (3, 3), padding=[(1, 1), (1, 1)],
                         use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"conv_{i}")(x)
-            x = nn.GroupNorm(num_groups=32, param_dtype=jnp.float32, name=f"gn_{i}")(
-                x.astype(jnp.float32)
-            ).astype(x.dtype)
+            x = nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5,
+                             dtype=self.dtype, param_dtype=jnp.float32,
+                             name=f"bn_{i}")(x)
             x = jax.nn.relu(x)
         x = x.reshape(x.shape[0], -1)
         x = jax.nn.relu(nn.Dense(self.representation_size, dtype=self.dtype,
@@ -274,12 +301,14 @@ def match_boxes(
     matches = jnp.where(best_val < low, BELOW_LOW, best_gt)
     matches = jnp.where((best_val >= low) & (best_val < high), BETWEEN, matches)
     if allow_low_quality:
-        # for each gt, anchors with iou == that gt's max get matched
+        # set_low_quality_matches_ (model/util.py:832-860): anchors that are
+        # (tied-)best for ANY gt get their ORIGINAL pre-threshold argmax match
+        # restored (matches[pred] = all_matches[pred]), not the gt they were
+        # best for.
         gt_best = jnp.max(iou, axis=1, keepdims=True)  # (G,1)
-        is_best = (iou == gt_best) & (gt_best > 0) & gt_valid[:, None]
+        is_best = (iou == gt_best) & gt_valid[:, None]
         any_best = jnp.any(is_best, axis=0)
-        forced = jnp.argmax(is_best, axis=0)
-        matches = jnp.where(any_best, forced, matches)
+        matches = jnp.where(any_best, best_gt, matches)
     return matches
 
 
@@ -353,6 +382,11 @@ class FasterRCNN(nn.Module):
     box_batch_size_per_image: int = 512
     box_positive_fraction: float = 0.25
     bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+    # Pre-NMS candidate cap in postprocess_detections. torchvision runs NMS
+    # over ALL (P * (C-1)) score-thresholded candidates; 0 keeps that exact
+    # behavior (chunked NMS keeps memory bounded). Set >0 to trade a little
+    # tail accuracy for less NMS work.
+    box_pre_nms_top_n: int = 0
     dtype: Optional[Dtype] = None
 
     @property
@@ -408,14 +442,13 @@ class FasterRCNN(nn.Module):
             feats_all = _resnet_stages(backbone, images_r, train_backbone)
             fpn = FeaturePyramidNetwork(
                 out_channels=256, num_levels=4, extra_maxpool=True,
-                dtype=self.dtype, name="fpn",
+                use_norm=True, dtype=self.dtype, name="fpn",
             )
             fpn_feats = fpn(feats_all)  # ['0','1','2','3','pool']
             pool_levels = [0, 1, 2, 3]
 
         # FPN features stay in compute dtype (bf16 on TPU): RoIAlign gathers
         # are the HBM hot spot; the RPN/box heads upcast their outputs.
-        strides = cfg["strides"]
         num_anchors = len(cfg["anchor_sizes"][0]) * len(cfg["aspect_ratios"][0])
 
         # --- RPN ---------------------------------------------------------------
@@ -423,7 +456,12 @@ class FasterRCNN(nn.Module):
                            dtype=self.dtype, name="rpn_head")
         objectness, pred_deltas = rpn_head(fpn_feats)
 
+        # anchor strides: padded image size // grid size, per axis — exactly
+        # AnchorGenerator.forward (:560-575). NOT the nominal backbone
+        # strides: the mobilenet FPN taps give BOTH maps at stride 32.
+        pad_h, pad_w = images_r.shape[1], images_r.shape[2]
         feat_shapes = [(f.shape[1], f.shape[2]) for f in fpn_feats]
+        strides = [(pad_h // fh, pad_w // fw) for fh, fw in feat_shapes]
         anchors_np = generate_anchors(
             feat_shapes, strides, cfg["anchor_sizes"], cfg["aspect_ratios"]
         )
@@ -466,6 +504,10 @@ class FasterRCNN(nn.Module):
         proposals, prop_scores, prop_valid = jax.vmap(per_image_proposals)(
             objectness, pred_deltas
         )
+        # RPN proposals are detached in torch (RegionProposalNetwork.forward):
+        # no box-head gradient flows back into the RPN through them.
+        proposals = jax.lax.stop_gradient(proposals)
+        prop_scores = jax.lax.stop_gradient(prop_scores)
 
         losses: Dict[str, jnp.ndarray] = {}
         if training_mode:
@@ -551,7 +593,14 @@ class FasterRCNN(nn.Module):
                 proposals, prop_valid, gtb, gtl, gtv, roi_rngs
             )
 
-        spatial_scales = [1.0 / strides[i] for i in pool_levels]
+        # RoIAlign scales are INFERRED from feature/pre-pad image sizes as
+        # 2^round(log2(feat/orig)) — MultiScaleRoIAlign._setup_scales. For the
+        # mobilenet FPN both maps infer 1/32 so the level mapper degenerates
+        # to level 0, matching torchvision.
+        spatial_scales = [
+            2.0 ** round(math.log2(fpn_feats[i].shape[1] / img_h))
+            for i in pool_levels
+        ]
         pool_feats = [fpn_feats[i] for i in pool_levels]
 
         def pool_one(feats_i, props_i):
@@ -603,19 +652,26 @@ class FasterRCNN(nn.Module):
         # --- inference postprocess ---------------------------------------------
         detections = self._postprocess(
             class_logits, box_deltas, proposals, prop_valid,
-            (img_h, img_w), scale,
+            (img_h, img_w), (orig_h, orig_w),
         )
         return detections, losses, feats_out
 
     def _postprocess(self, class_logits, box_deltas, proposals, prop_valid,
-                     img_hw, scale):
+                     img_hw, orig_hw):
         """Per-image: decode, clip, per-class threshold+NMS, top detections.
 
-        Parity: ``RoIHeads.postprocess_detections`` (:2018-2130).
+        Parity: ``RoIHeads.postprocess_detections`` (:2018-2130) +
+        ``GeneralizedRCNNTransform.postprocess`` / ``resize_boxes`` (per-axis
+        ratios back to original coords).
         """
         img_h, img_w = img_hw
+        orig_h, orig_w = orig_hw
         nc = self.num_classes
         d_per_img = self.box_detections_per_img
+        unscale = jnp.asarray(
+            [orig_w / img_w, orig_h / img_h, orig_w / img_w, orig_h / img_h],
+            jnp.float32,
+        )
 
         def one(logits, deltas, props, pvalid):
             scores = jax.nn.softmax(logits, axis=-1)  # (P, C)
@@ -628,13 +684,15 @@ class FasterRCNN(nn.Module):
             valid = jnp.repeat(pvalid, nc - 1)
             valid &= fg_scores > self.box_score_thresh
             valid &= box_ops.small_box_mask(fg_boxes, 1e-2)
-            # cap pre-NMS work: top 4*d_per_img candidates
-            k_pre = min(4 * d_per_img, fg_scores.shape[0])
-            idx, ivalid = box_ops.top_k_by_score(fg_scores, k_pre, valid)
-            cb, cs, cl = fg_boxes[idx], fg_scores[idx], fg_labels[idx]
+            if self.box_pre_nms_top_n and self.box_pre_nms_top_n < fg_scores.shape[0]:
+                idx, ivalid = box_ops.top_k_by_score(
+                    fg_scores, self.box_pre_nms_top_n, valid)
+                cb, cs, cl = fg_boxes[idx], fg_scores[idx], fg_labels[idx]
+            else:
+                cb, cs, cl, ivalid = fg_boxes, fg_scores, fg_labels, valid
             keep = box_ops.batched_nms_mask(cb, cs, cl, self.box_nms_thresh, ivalid)
             idx2, fvalid = box_ops.top_k_by_score(cs, d_per_img, keep)
-            out_boxes = cb[idx2] / scale  # back to original image coords
+            out_boxes = cb[idx2] * unscale  # back to original image coords
             return dict(
                 boxes=out_boxes,
                 scores=jnp.where(fvalid, cs[idx2], 0.0),

@@ -96,7 +96,9 @@ class EDTRTrainState:
         sched_e = optax.cosine_decay_schedule(
             learning_rate_edtr, train_steps, alpha=1e-7 / learning_rate_edtr
         )
-        tx_edtr = optax.adamw(sched_e)
+        # torch AdamW default weight_decay=1e-2 (main/det/train_edtr.py:89-90
+        # passes lr only)
+        tx_edtr = optax.adamw(sched_e, weight_decay=1e-2)
         sched_d = optax.cosine_decay_schedule(
             learning_rate_detnet, train_steps, alpha=1e-7 / learning_rate_detnet
         )

@@ -81,12 +81,25 @@ class SimpleTrainState:
         )
 
 
-def cosine_tx(kind: str, lr: float, steps: int, eta_min: float = 1e-7):
+def cosine_tx(kind: str, lr: float, steps: int, eta_min: float = 1e-7,
+              weight_decay: Optional[float] = None):
+    """Cosine-annealed optimizer matching the reference's torch defaults.
+
+    Reference weight decays: AdamW torch default 1e-2 (train_edtr/diffbir),
+    explicit 0 for swinir-pre & the sr4ir swinir half
+    (main/det/train_swinir-pre.py:47-49, train_swinir-sr4ir.py:56-58);
+    SGD coupled wd 1e-4 for cls/det, 1e-6 for seg
+    (main/det/train_det.py:45-47, main/seg/train_seg.py:44-46).
+    """
     sched = optax.cosine_decay_schedule(lr, steps, alpha=eta_min / lr)
     if kind == "adamw":
-        return optax.adamw(sched)
+        wd = 1e-2 if weight_decay is None else weight_decay
+        return optax.adamw(sched, weight_decay=wd)
     if kind == "sgd":
-        return optax.chain(optax.add_decayed_weights(1e-4), optax.sgd(sched, momentum=0.9))
+        wd = 1e-4 if weight_decay is None else weight_decay
+        # add_decayed_weights BEFORE sgd == torch's coupled decay (wd folded
+        # into the grad ahead of the momentum buffer)
+        return optax.chain(optax.add_decayed_weights(wd), optax.sgd(sched, momentum=0.9))
     raise ValueError(kind)
 
 

@@ -320,18 +320,24 @@ def task_train(
     lr = train_cfg.get("learning_rate", 1e-3)
     steps = train_cfg.get("train_steps", 10000)
 
+    sgd_wd = 1e-6 if task == "seg" else 1e-4  # main/seg/train_seg.py:46 vs 1e-4
     if recipe == "swinir-pre":
-        state = R.SimpleTrainState.create(sw_params, R.cosine_tx("adamw", lr, steps))
+        # AdamW weight_decay=0 (main/*/train_swinir-pre.py:47-49)
+        state = R.SimpleTrainState.create(
+            sw_params, R.cosine_tx("adamw", lr, steps, weight_decay=0.0))
         step_fn = R.make_swinir_pre_train_step(swinir)
     elif recipe == "sr4ir":
+        # swinir half: AdamW weight_decay=0 (main/*/train_swinir-sr4ir.py:56-58)
         sw_state = R.SimpleTrainState.create(
-            sw_params, R.cosine_tx("adamw", train_cfg.get("learning_rate_swinir", lr), steps))
+            sw_params, R.cosine_tx("adamw", train_cfg.get("learning_rate_swinir", lr),
+                                   steps, weight_decay=0.0))
         from edtr_tpu.models.faster_rcnn import mask_detnet_tx
 
         t_state = R.SimpleTrainState.create(
             net_params,
             mask_detnet_tx(
-                R.cosine_tx("sgd", train_cfg.get("learning_rate_task", lr), steps),
+                R.cosine_tx("sgd", train_cfg.get("learning_rate_task", lr), steps,
+                            weight_decay=sgd_wd),
                 net_params["params"]))
         state = (sw_state, t_state)
         step_fn = R.make_sr4ir_train_step(
@@ -343,7 +349,7 @@ def task_train(
         from edtr_tpu.models.faster_rcnn import mask_detnet_tx
 
         state = R.SimpleTrainState.create(
-            net_params, mask_detnet_tx(R.cosine_tx("sgd", lr, steps),
+            net_params, mask_detnet_tx(R.cosine_tx("sgd", lr, steps, weight_decay=sgd_wd),
                                        net_params["params"]))
         step_fn = R.make_task_train_step(
             loss_fn, pre_restore=pre,
@@ -672,11 +678,20 @@ def diffbir_train(cfg_path: str, task: str, debug: bool = False,
     loss_fn, feats_fn = _task_apply_for(task, net)
 
     steps = train_cfg.get("train_steps", 10000)
-    cldm_state = SimpleTrainState.create(
-        params, cosine_tx("adamw", train_cfg.get("learning_rate_diffbir",
-                                                 train_cfg.get("learning_rate_edtr", 1e-4)), steps))
+    # torch AdamW default wd=1e-2 (main/det/train_diffbir.py:73-74); opt state
+    # must be inited over the TRAINABLE split (the step updates that subtree)
+    from edtr_tpu.train.edtr_step import split_trainable
+
+    tx_cldm = cosine_tx("adamw", train_cfg.get("learning_rate_diffbir",
+                                               train_cfg.get("learning_rate_edtr", 1e-4)),
+                        steps, weight_decay=1e-2)
+    trainable0, _ = split_trainable(params, train_decoder=False)
+    cldm_state = SimpleTrainState(
+        params=params, opt_state=tx_cldm.init(trainable0),
+        step=jnp.zeros((), jnp.int32), tx=tx_cldm)
     task_state = SimpleTrainState.create(
-        task_vars, cosine_tx("sgd", train_cfg.get("learning_rate_task", 5e-3), steps))
+        task_vars, cosine_tx("sgd", train_cfg.get("learning_rate_task", 5e-3), steps,
+                             weight_decay=1e-6 if task == "seg" else 1e-4))
     step_fn = R.make_diffbir_train_step(
         pipe, loss_fn, feats_fn,
         weight_ce=train_cfg.get("weight_ce", 1.0),

@@ -161,26 +161,34 @@ class CocoEvaluator:
             dscores = ev["dscores"][:nd]
             d_out_of_rng = (ev["darea"][:nd] < arng[0]) | (ev["darea"][:nd] > arng[1])
             ng = iou.shape[1]
+            # pycocotools evaluateImg sorts gts ignore-LAST (stable), so the
+            # break below never abandons a regular gt for an ignored one and a
+            # det tentatively on an ignored gt can still claim a regular gt.
+            gtind = np.argsort(g_ignore, kind="mergesort")
+            g_ign_s = g_ignore[gtind]
+            crowd_s = ev["giscrowd"][gtind]
+            iou_s = iou[:, gtind]
             tp = np.zeros((T, nd))
             fp = np.zeros((T, nd))
             d_ignore_final = np.zeros((T, nd), bool)
             for t, thr in enumerate(IOU_THRS):
                 taken = np.zeros(ng, bool)
                 for di in range(nd):
-                    best, best_g = thr - 1e-10, -1
-                    # prefer non-ignored gts; allow crowd/ignored fallback
+                    best, best_g = min(thr, 1 - 1e-10), -1
                     for gi in range(ng):
-                        if taken[gi] and not ev["giscrowd"][gi]:
+                        if taken[gi] and not crowd_s[gi]:
                             continue
-                        if best_g > -1 and not g_ignore[best_g] and g_ignore[gi]:
-                            break  # gts are not sorted by ignore here; simple variant
-                        if iou[di, gi] < best:
+                        # sorted: once matched to a regular gt, all remaining
+                        # gts are ignored -> stop
+                        if best_g > -1 and not g_ign_s[best_g] and g_ign_s[gi]:
+                            break
+                        if iou_s[di, gi] < best:
                             continue
-                        best, best_g = iou[di, gi], gi
+                        best, best_g = iou_s[di, gi], gi
                     if best_g == -1:
                         fp[t, di] = not d_out_of_rng[di]
                         continue
-                    if g_ignore[best_g]:
+                    if g_ign_s[best_g]:
                         d_ignore_final[t, di] = True  # matched to ignored gt
                     else:
                         taken[best_g] = True

@@ -474,6 +474,21 @@ def convert_mobilenetv3(sd, prefix: str = "", with_classifier: bool = True) -> P
     return {"params": P, "batch_stats": S}
 
 
+def _nchw_flat_linear(sd, key: str, c: int, h: int, w: int) -> Params:
+    """Linear whose torch input is flatten(NCHW) but ours is flatten(NHWC).
+
+    torch box heads flatten pooled RoI maps channel-major (c*H*W + y*W + x);
+    our NHWC reshape is spatial-major ((y*W + x)*C + c) — reorder the kernel
+    rows accordingly so converted weights see the right features.
+    """
+    p = linear(sd, key)
+    k = p["kernel"]  # (c*h*w, out)
+    p["kernel"] = (
+        k.reshape(c, h, w, -1).transpose(1, 2, 0, 3).reshape(c * h * w, -1)
+    )
+    return p
+
+
 def convert_fasterrcnn_mobilenet(sd) -> Params:
     """FasterRCNN mobilenet-FPN detnet checkpoint -> full variables dict.
 
@@ -509,9 +524,63 @@ def convert_fasterrcnn_mobilenet(sd) -> Params:
     P["rpn_head"] = rpn
 
     P["box_head"] = {
-        "fc6": linear(sd, "roi_heads.box_head.fc6"),
+        "fc6": _nchw_flat_linear(sd, "roi_heads.box_head.fc6", 256, 7, 7),
         "fc7": linear(sd, "roi_heads.box_head.fc7"),
     }
+    P["box_predictor"] = {
+        "cls_score": linear(sd, "roi_heads.box_predictor.cls_score"),
+        "bbox_pred": linear(sd, "roi_heads.box_predictor.bbox_pred"),
+    }
+    return {"params": P, "batch_stats": S}
+
+
+def convert_fasterrcnn_resnet50_v2(sd) -> Params:
+    """FasterRCNN ResNet50-FPN **v2** checkpoint -> full variables dict.
+
+    Parity: ``fasterrcnn_resnet50_fpn_v2`` (model/faster_rcnn.py:939-1003):
+    resnet50 body (``backbone.body.*``), FPN with BatchNorm
+    (``backbone.fpn.{inner,layer}_blocks.{i}.{0=conv,1=bn}``), 2-deep RPN
+    head (``rpn.head.conv.{0,1}.0``), ConvFC box head
+    (``roi_heads.box_head.{0..3}.{0=conv,1=bn}`` + ``.5`` linear after the
+    Flatten at index 4), and the usual predictor. Used for the reference's
+    COCO checkpoints (``FasterRCNN_ResNet50_FPN_V2_Weights_COCO_V1.pt``,
+    utils/common.py:306-334 load path).
+    """
+    body = convert_resnet(sd, prefix="backbone.body", type=50)
+    P: Params = {"body": body["params"]}
+    S: Params = {"body": body["batch_stats"]}
+
+    fpn_p: Params = {}
+    fpn_s: Params = {}
+    i = 0
+    while f"backbone.fpn.inner_blocks.{i}.0.weight" in sd:
+        fpn_p[f"inner_{i}"] = conv(sd, f"backbone.fpn.inner_blocks.{i}.0")
+        fpn_p[f"inner_bn_{i}"], fpn_s[f"inner_bn_{i}"] = _bn(
+            sd, f"backbone.fpn.inner_blocks.{i}.1")
+        fpn_p[f"layer_{i}"] = conv(sd, f"backbone.fpn.layer_blocks.{i}.0")
+        fpn_p[f"layer_bn_{i}"], fpn_s[f"layer_bn_{i}"] = _bn(
+            sd, f"backbone.fpn.layer_blocks.{i}.1")
+        i += 1
+    P["fpn"] = fpn_p
+    S["fpn"] = fpn_s
+
+    rpn: Params = {
+        "conv_0": conv(sd, "rpn.head.conv.0.0"),
+        "conv_1": conv(sd, "rpn.head.conv.1.0"),
+        "cls_logits": conv(sd, "rpn.head.cls_logits"),
+        "bbox_pred": conv(sd, "rpn.head.bbox_pred"),
+    }
+    P["rpn_head"] = rpn
+
+    head_p: Params = {}
+    head_s: Params = {}
+    for j in range(4):
+        head_p[f"conv_{j}"] = conv(sd, f"roi_heads.box_head.{j}.0")
+        head_p[f"bn_{j}"], head_s[f"bn_{j}"] = _bn(sd, f"roi_heads.box_head.{j}.1")
+    head_p["fc"] = _nchw_flat_linear(sd, "roi_heads.box_head.5", 256, 7, 7)
+    P["box_head"] = head_p
+    S["box_head"] = head_s
+
     P["box_predictor"] = {
         "cls_score": linear(sd, "roi_heads.box_predictor.cls_score"),
         "bbox_pred": linear(sd, "roi_heads.box_predictor.bbox_pred"),

@@ -21,6 +21,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "golden: slow torch-oracle golden parity tests (deselect with -m 'not golden')",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(231)  # reference eval seed (SURVEY.md §4)
