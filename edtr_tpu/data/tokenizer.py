@@ -32,7 +32,8 @@ EOT_TEXT = "<end_of_text>"
 
 DEFAULT_BPE_PATHS = [
     os.environ.get("EDTR_BPE_PATH", ""),
-    "/root/reference/model/open_clip/bpe_simple_vocab_16e6.txt.gz",
+    # vendored copy (identical in every CLIP distribution)
+    os.path.join(os.path.dirname(__file__), "bpe_simple_vocab_16e6.txt.gz"),
 ]
 
 
