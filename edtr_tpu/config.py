@@ -103,6 +103,7 @@ REGISTRY: Dict[str, str] = {
     # diffusion-restoration core
     "model.cldm.ControlLDM": "edtr_tpu.models.cldm.ControlLDM",
     "model.gaussian_diffusion.Diffusion": "edtr_tpu.diffusion.schedule.create_diffusion",
+    "model.vae.Encoder": "edtr_tpu.models.vae.create_encoder",
     # restoration networks
     "model.swinir.SwinIR": "edtr_tpu.models.swinir.SwinIR",
     "model.bsrnet.RRDBNet": "edtr_tpu.models.bsrnet.RRDBNet",

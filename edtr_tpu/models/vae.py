@@ -202,3 +202,14 @@ class AutoencoderKL(nn.Module):
         posterior = self.encode(x)
         z = posterior.sample(rng) if sample_posterior else posterior.mode()
         return self.decode(z), posterior
+
+
+def create_encoder(**kwargs) -> Encoder:
+    """Config-registry factory for ``target: model.vae.Encoder`` (the dead
+    ``nsampler`` node in cls test configs, configs/cls/cub200/test/00*_edtr-*.yaml)
+    — tolerates the reference's extra ddconfig-style keys."""
+    fields = {"ch", "ch_mult", "num_res_blocks", "z_channels", "double_z", "dtype"}
+    kw = {k: v for k, v in kwargs.items() if k in fields}
+    if "ch_mult" in kw and isinstance(kw["ch_mult"], list):
+        kw["ch_mult"] = tuple(kw["ch_mult"])
+    return Encoder(**kw)

@@ -10,6 +10,8 @@ from edtr_tpu.utils import convert as C
 
 from ref_loader import load_ref_module
 
+pytestmark = pytest.mark.golden  # torch-oracle tier
+
 TEXT_CFG = dict(context_length=16, vocab_size=512, width=32, heads=4, layers=3)
 VISION_CFG = dict(image_size=32, layers=1, width=16, head_width=8, patch_size=16)
 

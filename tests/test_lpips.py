@@ -20,6 +20,8 @@ from edtr_tpu.utils.convert import convert_lpips
 torch = pytest.importorskip("torch")
 from torch import nn  # noqa: E402
 
+pytestmark = pytest.mark.golden  # torch-oracle tier
+
 _SHIFT = (-0.030, -0.088, -0.188)
 _SCALE = (0.458, 0.448, 0.450)
 

@@ -40,6 +40,7 @@ def test_flash_attention_gradients():
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.golden
 def test_diffjpeg_golden_vs_reference():
     import torch
 

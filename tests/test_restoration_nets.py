@@ -1,9 +1,12 @@
 """Smoke/shape tests for the secondary restoration nets (reference exports
 model/__init__.py:13-15 — unused by configs, implemented for completeness)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.golden  # torch-oracle tier
 
 
 def test_rrdbnet_sr4():

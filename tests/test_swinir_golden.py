@@ -14,6 +14,8 @@ from edtr_tpu.utils import convert as C
 
 from ref_loader import load_ref_module
 
+pytestmark = pytest.mark.golden  # torch-oracle tier
+
 TINY = dict(
     img_size=8,
     patch_size=1,

@@ -16,6 +16,8 @@ from edtr_tpu.utils import convert as C
 
 from ref_loader import load_ref_module
 
+pytestmark = pytest.mark.golden  # torch-oracle tier
+
 TINY = dict(
     image_size=8,
     in_channels=4,

@@ -11,6 +11,8 @@ from edtr_tpu.utils import convert as C
 
 from ref_loader import load_ref_module
 
+pytestmark = pytest.mark.golden  # torch-oracle tier
+
 DD_TINY = dict(
     double_z=True,
     z_channels=3,
