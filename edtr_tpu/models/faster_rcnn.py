@@ -713,16 +713,29 @@ def _resnet_stages(backbone: ResNet, x: jnp.ndarray, train: bool):
     return backbone(x, normalize=False, features=True, train=train)
 
 
+_FRCNN_FIELDS = {f.name for f in FasterRCNN.__dataclass_fields__.values()} \
+    if hasattr(FasterRCNN, "__dataclass_fields__") else set()
+
+
+def _frcnn_kwargs(kwargs):
+    return {k: v for k, v in kwargs.items() if k in _FRCNN_FIELDS}
+
+
 def fasterrcnn_mobilenet_v3_large_fpn(
     weights=None, weights_backbone=None, num_classes: int = 91,
     dtype=None, **kwargs,
 ) -> FasterRCNN:
-    """Factory; parity ``model/faster_rcnn.py:733-795`` (rpn_score_thresh=0.05)."""
+    """Factory; parity ``model/faster_rcnn.py:733-795`` (rpn_score_thresh=0.05).
+
+    Extra FasterRCNN field overrides (min_size, rpn_* and box_* knobs) pass
+    through, matching torchvision's ``**kwargs`` forwarding to the base class.
+    """
     return FasterRCNN(
         num_classes=num_classes,
         backbone_type="mobilenet_v3_large_fpn",
         rpn_score_thresh=kwargs.pop("rpn_score_thresh", 0.05),
         dtype=dtype,
+        **_frcnn_kwargs(kwargs),
     )
 
 
@@ -735,6 +748,7 @@ def fasterrcnn_resnet50_fpn_v2(
         num_classes=num_classes,
         backbone_type="resnet50_fpn_v2",
         dtype=dtype,
+        **_frcnn_kwargs(kwargs),
     )
 
 

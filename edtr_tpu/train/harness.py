@@ -53,17 +53,39 @@ def pad_annots(annot_list: List[Dict], max_gt: int = MAX_GT) -> Dict[str, np.nda
     return dict(boxes=boxes, labels=labels, valid=valid)
 
 
-def prepare_batch(batch, img_size: int = 512):
+def prepare_batch(batch, img_size: int = 512, batch_transform=None):
     """Tuple-of-lists batch -> NHWC arrays + padded annots.
 
-    Parity: ``prepare_batch`` (utils/detection.py:695-721), CodeFormer path.
+    Parity: ``prepare_batch`` (utils/detection.py:695-721). Two shapes:
+
+    * CodeFormer path (``batch_transform is None``): the dataset already
+      degraded per item; batch is (gt, lq, annot, path) lists.
+    * RealESRGAN path: the COCO v2 dataset yields clean images + per-item
+      blur kernels (hq, kernel1, kernel2, sinc_kernel, annot, path); the
+      on-device ``RealESRGANBatchTransform`` produces GT/LQ here
+      (reference: ``utils/detection.py:706-716``,
+      ``main/det/train_edtr.py:115-117,163``).
+
     Returns (gt_list, lq_list, gt_batch, lq_batch, annot_list, path_list, bs).
     """
-    gt_list, lq_list, annot_list, path_list = batch
-    gt_list = [np.asarray(g, np.float32) for g in gt_list]
-    lq_list = [np.asarray(l, np.float32) for l in lq_list]
-    gt_batch = list_to_batch(gt_list, img_size)
-    lq_batch = list_to_batch(lq_list, img_size)
+    if batch_transform is None:
+        gt_list, lq_list, annot_list, path_list = batch
+        gt_list = [np.asarray(g, np.float32) for g in gt_list]
+        lq_list = [np.asarray(l, np.float32) for l in lq_list]
+        gt_batch = list_to_batch(gt_list, img_size)
+        lq_batch = list_to_batch(lq_list, img_size)
+    else:
+        gt_list, k1_list, k2_list, sk_list, annot_list, path_list = batch
+        gt_list = [np.asarray(g, np.float32) for g in gt_list]
+        gt_batch = list_to_batch(gt_list, img_size)
+        out = batch_transform(dict(
+            hq=gt_batch,
+            kernel1=np.stack([np.asarray(k, np.float32) for k in k1_list]),
+            kernel2=np.stack([np.asarray(k, np.float32) for k in k2_list]),
+            sinc_kernel=np.stack([np.asarray(k, np.float32) for k in sk_list]),
+        ))
+        gt_batch, lq_batch = out["GT"], out["LQ"]
+        lq_list = batch_to_list(lq_batch, gt_list)
     return gt_list, lq_list, gt_batch, lq_batch, list(annot_list), list(path_list), len(gt_list)
 
 

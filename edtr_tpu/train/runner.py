@@ -80,6 +80,21 @@ def init_detnet_params(det, rng, image_size=512):
     )
 
 
+
+def _build_batch_transform(cfg, logger=None):
+    """On-device RealESRGAN degradation from cfg.dataset.batch_transform.
+
+    Parity: ``main/det/train_edtr.py:115-117`` — present only in the COCO v2
+    (real-world) recipes; None elsewhere.
+    """
+    node = cfg["dataset"].get("batch_transform", None)
+    if not node:
+        return None
+    if logger:
+        logger("building RealESRGAN batch transform (on-device degradation)")
+    return instantiate_from_config(node)
+
+
 def edtr_train(cfg_path: str, debug: bool = False, seed: Optional[int] = None):
     """The flagship EDTR detection training loop.
 
@@ -138,6 +153,7 @@ def edtr_train(cfg_path: str, debug: bool = False, seed: Optional[int] = None):
     sample_fn = make_edtr_sample_fn(pipe)
 
     dataset = instantiate_from_config(cfg["dataset"]["train"])
+    batch_transform = _build_batch_transform(cfg, logger)
     loader = make_dataloader(
         dataset,
         batch_size=train_cfg.get("batch_size", 16),
@@ -171,7 +187,8 @@ def edtr_train(cfg_path: str, debug: bool = False, seed: Optional[int] = None):
     t0 = time.time()
     while global_step < max_steps:
         for batch in loader:
-            _, _, gt_batch, lq_batch, annot_list, _, bs = prepare_batch(batch)
+            _, _, gt_batch, lq_batch, annot_list, _, bs = prepare_batch(
+                batch, batch_transform=batch_transform)
             targets = pad_annots(annot_list)
             dev_batch = dict(
                 lq=jnp.asarray(lq_batch),
@@ -357,6 +374,7 @@ def task_train(
         )
 
     dataset = instantiate_from_config(cfg["dataset"]["train"])
+    batch_transform = _build_batch_transform(cfg, logger)
     loader = make_dataloader(
         dataset, batch_size=train_cfg.get("batch_size", 16),
         num_workers=train_cfg.get("num_workers", 0),
@@ -370,7 +388,8 @@ def task_train(
     while global_step < max_steps:
         for batch in loader:
             if task == "det":
-                _, _, gt_b, lq_b, annot_list, _, _ = prepare_batch(batch)
+                _, _, gt_b, lq_b, annot_list, _, _ = prepare_batch(
+                    batch, batch_transform=batch_transform)
                 gt, lq = jnp.asarray(gt_b), jnp.asarray(lq_b)
                 target = {k: jnp.asarray(v) for k, v in pad_annots(annot_list).items()}
             else:
@@ -453,6 +472,7 @@ def edtr_train_task(
     )
 
     dataset = instantiate_from_config(cfg["dataset"]["train"])
+    batch_transform = _build_batch_transform(cfg, logger)
     loader = make_dataloader(
         dataset, batch_size=train_cfg.get("batch_size", 16),
         num_workers=train_cfg.get("num_workers", 0), seed=train_cfg.get("seed", 231),
@@ -699,6 +719,7 @@ def diffbir_train(cfg_path: str, task: str, debug: bool = False,
     )
 
     dataset = instantiate_from_config(cfg["dataset"]["train"])
+    batch_transform = _build_batch_transform(cfg, logger)
     loader = make_dataloader(
         dataset, batch_size=train_cfg.get("batch_size", 16),
         num_workers=train_cfg.get("num_workers", 0), seed=train_cfg.get("seed", 231))
@@ -712,7 +733,8 @@ def diffbir_train(cfg_path: str, task: str, debug: bool = False,
     while global_step < max_steps:
         for batch in loader:
             if task == "det":
-                _, _, gt_b, lq_b, annot_list, _, bs = prepare_batch(batch)
+                _, _, gt_b, lq_b, annot_list, _, bs = prepare_batch(
+                    batch, batch_transform=batch_transform)
                 gt, lq = jnp.asarray(gt_b), jnp.asarray(lq_b)
                 target = {k: jnp.asarray(v) for k, v in pad_annots(annot_list).items()}
             else:
