@@ -137,13 +137,18 @@ def edtr_train(cfg_path: str, debug: bool = False, seed: Optional[int] = None):
         learning_rate_detnet=train_cfg.get("learning_rate_detnet", 5e-3),
         train_steps=train_cfg.get("train_steps", 10000),
     )
-    # data-parallel mesh over all local devices (reference: DDP, SURVEY §2.7)
+    # data-parallel mesh over all local devices (reference: DDP with
+    # split_batches=True — global batch divided across ranks, SURVEY §2.7)
     mesh = None
-    if jax.device_count() > 1:
+    n_dev = jax.device_count()
+    if n_dev > 1 and train_cfg.get("batch_size", 16) % n_dev == 0:
         from edtr_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(jax.device_count())
-        logger(f"data-parallel mesh over {jax.device_count()} devices")
+        mesh = make_mesh(n_dev)
+        logger(f"data-parallel mesh over {n_dev} devices")
+    elif n_dev > 1:
+        logger(f"batch size {train_cfg.get('batch_size', 16)} not divisible "
+               f"by {n_dev} devices; running unsharded")
     step_fn = make_edtr_train_step(
         pipe, detnet=detnet, mesh=mesh,
         weight_hlf=train_cfg.get("weight_hlf", 0.5),
@@ -166,6 +171,19 @@ def edtr_train(cfg_path: str, debug: bool = False, seed: Optional[int] = None):
     max_steps = 2 if debug else train_cfg.get("train_steps", 10000)
     log_every = 1 if debug else train_cfg.get("log_every", 50)
     ckpt_every = 1 if debug else train_cfg.get("ckpt_every", 10000)
+
+    # in-training validation + image dumps (main/det/train_edtr.py:276-362)
+    from edtr_tpu.train import valhooks as V
+
+    val_cfg = cfg.get("val", None) or Config()
+    val_ds = None
+    if cfg["dataset"].get("val", None):
+        val_ds = instantiate_from_config(cfg["dataset"]["val"])
+    val_every = 1 if debug else val_cfg.get("val_every", 0)
+    image_every = 1 if debug else train_cfg.get("image_every", 0)
+    val_max = 2 if debug else None
+    det_eval_fn = jax.jit(lambda v, im: detnet.apply(v, im)[0])
+    pre_fn = jax.jit(pipe.pre_restore)
 
     # full train-state resume (the reference only reloads weights,
     # SURVEY.md §5.4; we restore optimizer + step too)
@@ -225,6 +243,25 @@ def edtr_train(cfg_path: str, debug: bool = False, seed: Optional[int] = None):
                          opt_detnet=state.opt_detnet_state, step=state.step),
                 )
                 logger(f"checkpoints saved at step {global_step}")
+            if image_every and global_step % image_every == 0:
+                k = min(4, bs)
+                key, sub = jax.random.split(key)
+                restored = sample_fn(
+                    state.params, dev_batch["lq"][:k],
+                    dev_batch["c_txt"][:k], sub)
+                pre_res = pre_fn(state.params, dev_batch["lq"][:k])
+                p = V.save_image_grid(img_dir, global_step, dict(
+                    gt=dev_batch["gt"][:k], lq=dev_batch["lq"][:k],
+                    pre_restored=pre_res, restored=restored))
+                logger(f"image grid saved: {p}")
+            if val_ds is not None and val_every and global_step % val_every == 0:
+                key, sub = jax.random.split(key)
+                stats = V.validate_detection(
+                    val_ds, det_eval_fn, state.params["detnet"], sub,
+                    restore_fn=lambda x, rng: sample_fn(
+                        state.params, x, c_txt_one, rng),
+                    max_images=val_max)
+                V.log_val_stats(logger, writer, global_step, stats)
             if global_step >= max_steps:
                 break
     logger("training done")
@@ -384,6 +421,42 @@ def task_train(
     max_steps = 2 if debug else steps
     log_every = 1 if debug else train_cfg.get("log_every", 50)
     ckpt_every = 1 if debug else train_cfg.get("ckpt_every", steps)
+
+    # in-training validation + image dumps (main/*/train_swinir.py:141-199)
+    from edtr_tpu.train import valhooks as V
+
+    val_cfg = cfg.get("val", None) or Config()
+    val_ds = None
+    if cfg["dataset"].get("val", None):
+        val_ds = instantiate_from_config(cfg["dataset"]["val"])
+    val_every = 1 if debug else val_cfg.get("val_every", 0)
+    image_every = 1 if debug else train_cfg.get("image_every", 0)
+    val_max = 2 if debug else None
+
+    def _current_restore_fn():
+        """(lq, rng) -> restored, per recipe; None when nothing restores."""
+        if recipe == "swinir-pre":
+            p = state.params
+            return lambda x, rng: swinir.apply({"params": p}, x)
+        if recipe == "sr4ir":
+            p = state[0].params
+            return lambda x, rng: swinir.apply({"params": p}, x)
+        if recipe == "swinir":
+            return lambda x, rng: swinir.apply({"params": sw_params}, x)
+        return None
+
+    def _current_net_vars():
+        if recipe == "sr4ir":
+            return state[1].variables
+        if recipe == "swinir-pre":
+            return None
+        return state.variables
+
+    if task == "det":
+        det_eval_fn = jax.jit(lambda v, im: net.apply(v, im)[0])
+    else:
+        task_eval_fn = jax.jit(lambda v, x: net.apply(v, x, normalize=True))
+
     global_step = 0
     while global_step < max_steps:
         for batch in loader:
@@ -403,6 +476,9 @@ def task_train(
             if global_step % log_every == 0:
                 logger(f"step {global_step}: " + " ".join(
                     f"{k}={float(v):.4f}" for k, v in metrics.items()))
+                if writer:
+                    for k, v in metrics.items():
+                        writer.add_scalar(f"train/{k}", float(v), global_step)
             if global_step % ckpt_every == 0:
                 if recipe == "sr4ir":
                     ckpt.save_submodules(ckpt_dir, {
@@ -411,6 +487,39 @@ def task_train(
                     ckpt.save_submodules(ckpt_dir, {"swinir": state.params}, global_step)
                 else:
                     ckpt.save_submodules(ckpt_dir, {net_key: state.params}, global_step)
+            restore = _current_restore_fn()
+            if image_every and global_step % image_every == 0:
+                k = min(4, gt.shape[0])
+                rows = dict(gt=gt[:k], lq=lq[:k])
+                if restore is not None:
+                    key, sub = jax.random.split(key)
+                    rows["restored"] = restore(lq[:k], sub)
+                p = V.save_image_grid(img_dir, global_step, rows)
+                logger(f"image grid saved: {p}")
+            if val_ds is not None and val_every and global_step % val_every == 0:
+                key, sub = jax.random.split(key)
+                net_vars = _current_net_vars()
+                if task == "det" and net_vars is not None:
+                    stats = V.validate_detection(
+                        val_ds, det_eval_fn, net_vars, sub,
+                        restore_fn=restore, max_images=val_max)
+                elif net_vars is not None:
+                    stats = V.validate_task(
+                        task, val_ds, task_eval_fn, net_vars, sub,
+                        restore_fn=restore, max_images=val_max)
+                else:  # swinir-pre: restoration-only PSNR
+                    from edtr_tpu.utils.image import calculate_psnr
+
+                    psnrs = []
+                    n_v = min(len(val_ds), val_max or len(val_ds))
+                    for i in range(n_v):
+                        g_i, l_i = val_ds[i][0], val_ds[i][1]
+                        key, sub = jax.random.split(key)
+                        r = restore(jnp.asarray(l_i)[None], sub)
+                        psnrs.append(float(calculate_psnr(
+                            r, jnp.asarray(g_i)[None])[0]))
+                    stats = dict(psnr=float(np.mean(psnrs)))
+                V.log_val_stats(logger, writer, global_step, stats)
             if global_step >= max_steps:
                 break
     logger("training done")
@@ -482,6 +591,22 @@ def edtr_train_task(
     max_steps = 2 if debug else train_cfg.get("train_steps", 10000)
     log_every = 1 if debug else train_cfg.get("log_every", 50)
     ckpt_every = 1 if debug else train_cfg.get("ckpt_every", 10000)
+
+    # in-training validation + image dumps (main/{cls,seg}/train_edtr.py)
+    from edtr_tpu.train import valhooks as V
+    from edtr_tpu.train.edtr_step import make_edtr_sample_fn
+
+    sample_fn = make_edtr_sample_fn(pipe)
+    val_cfg = cfg.get("val", None) or Config()
+    val_ds = None
+    if cfg["dataset"].get("val", None):
+        val_ds = instantiate_from_config(cfg["dataset"]["val"])
+    val_every = 1 if debug else val_cfg.get("val_every", 0)
+    image_every = 1 if debug else train_cfg.get("image_every", 0)
+    val_max = 2 if debug else None
+    task_eval_fn = jax.jit(lambda v, x: net.apply(v, x, normalize=True))
+    pre_fn = jax.jit(pipe.pre_restore)
+
     global_step = 0
     while global_step < max_steps:
         for batch in loader:
@@ -499,12 +624,33 @@ def edtr_train_task(
             if global_step % log_every == 0:
                 logger(f"step {global_step}: " + " ".join(
                     f"{k}={float(v):.4f}" for k, v in metrics.items()))
+                if writer:
+                    for k, v in metrics.items():
+                        writer.add_scalar(f"train/{k}", float(v), global_step)
             if global_step % ckpt_every == 0:
                 ckpt.save_submodules(ckpt_dir, dict(
                     controlnet=state.params["controlnet"],
                     decoder=state.params["vae"]["decoder"],
                     **{net_key: state.params["tasknet"]},
                 ), global_step)
+            if image_every and global_step % image_every == 0:
+                k = min(4, bs)
+                key, sub = jax.random.split(key)
+                restored = sample_fn(state.params, dev_batch["lq"][:k],
+                                     dev_batch["c_txt"][:k], sub)
+                pre_res = pre_fn(state.params, dev_batch["lq"][:k])
+                p = V.save_image_grid(img_dir, global_step, dict(
+                    gt=dev_batch["gt"][:k], lq=dev_batch["lq"][:k],
+                    pre_restored=pre_res, restored=restored))
+                logger(f"image grid saved: {p}")
+            if val_ds is not None and val_every and global_step % val_every == 0:
+                key, sub = jax.random.split(key)
+                stats = V.validate_task(
+                    task, val_ds, task_eval_fn, state.params["tasknet"], sub,
+                    restore_fn=lambda x, rng: sample_fn(
+                        state.params, x, c_txt_one, rng),
+                    max_images=val_max)
+                V.log_val_stats(logger, writer, global_step, stats)
             if global_step >= max_steps:
                 break
     logger("training done")
@@ -728,6 +874,41 @@ def diffbir_train(cfg_path: str, task: str, debug: bool = False,
     max_steps = 2 if debug else steps
     log_every = 1 if debug else train_cfg.get("log_every", 50)
     ckpt_every = 1 if debug else train_cfg.get("ckpt_every", steps)
+
+    # in-training validation + image dumps (main/*/train_diffbir.py val/image
+    # blocks — 50-step from-noise restore like test_diffbir)
+    from edtr_tpu.diffusion.sampler import sample_scan
+    from edtr_tpu.train import valhooks as V
+    from edtr_tpu.utils.image import wavelet_reconstruction
+
+    val_cfg = cfg.get("val", None) or Config()
+    val_ds = None
+    if cfg["dataset"].get("val", None):
+        val_ds = instantiate_from_config(cfg["dataset"]["val"])
+    val_every = 1 if debug else val_cfg.get("val_every", 0)
+    image_every = 1 if debug else train_cfg.get("image_every", 0)
+    val_max = 2 if debug else None
+    schedule50 = pipe.sampler.make_schedule(train_cfg.get("sample_steps", 50))
+
+    def make_restore(params):
+        def restore(lq, rng):
+            pre = pipe.pre_restore(params, lq)
+            z_pre = pipe.cldm.vae_encode(params, pre * 2 - 1, sample=False)
+            cond = dict(c_txt=jnp.tile(c_txt_one, (lq.shape[0], 1, 1)),
+                        c_img=z_pre)
+            r1, r2 = jax.random.split(rng)
+            x_T = jax.random.normal(r1, z_pre.shape, z_pre.dtype)
+            z = sample_scan(pipe.cldm.model_fn(params), schedule50, x_T, cond, r2)
+            return wavelet_reconstruction(
+                (pipe.cldm.vae_decode(params, z) + 1) / 2, pre)
+
+        return jax.jit(restore)
+
+    if task == "det":
+        det_eval_fn = jax.jit(lambda v, im: net.apply(v, im)[0])
+    else:
+        task_eval_fn = jax.jit(lambda v, x: net.apply(v, x, normalize=True))
+
     state = (cldm_state, task_state, teacher_vars)
     global_step = 0
     while global_step < max_steps:
@@ -751,11 +932,34 @@ def diffbir_train(cfg_path: str, task: str, debug: bool = False,
             if global_step % log_every == 0:
                 logger(f"step {global_step}: " + " ".join(
                     f"{k}={float(v):.4f}" for k, v in metrics.items()))
+                if writer:
+                    for k, v in metrics.items():
+                        writer.add_scalar(f"train/{k}", float(v), global_step)
             if global_step % ckpt_every == 0:
                 ckpt.save_submodules(ckpt_dir, dict(
                     controlnet=state[0].params["controlnet"],
                     **{net_key: state[1].variables},
                 ), global_step)
+            if image_every and global_step % image_every == 0:
+                k = min(4, bs)
+                restore = make_restore(state[0].params)
+                key, sub = jax.random.split(key)
+                restored = restore(lq[:k], sub)
+                p = V.save_image_grid(img_dir, global_step, dict(
+                    gt=gt[:k], lq=lq[:k], restored=restored))
+                logger(f"image grid saved: {p}")
+            if val_ds is not None and val_every and global_step % val_every == 0:
+                restore = make_restore(state[0].params)
+                key, sub = jax.random.split(key)
+                if task == "det":
+                    stats = V.validate_detection(
+                        val_ds, det_eval_fn, state[1].variables, sub,
+                        restore_fn=restore, max_images=val_max)
+                else:
+                    stats = V.validate_task(
+                        task, val_ds, task_eval_fn, state[1].variables, sub,
+                        restore_fn=restore, max_images=val_max)
+                V.log_val_stats(logger, writer, global_step, stats)
             if global_step >= max_steps:
                 break
     logger("training done")
