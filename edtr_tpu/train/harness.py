@@ -153,7 +153,13 @@ class GroupedBatchSampler:
                     break
 
     def __len__(self):
-        return len(list(self.sampler)) // self.batch_size
+        # torch samplers expose __len__; avoid materializing the permutation
+        # (this used to be an O(N) list build per call — COCO-scale waste)
+        try:
+            n = len(self.sampler)
+        except TypeError:
+            n = sum(1 for _ in self.sampler)
+        return n // self.batch_size
 
 
 def create_aspect_ratio_groups(dataset, k: int = 0) -> List[int]:
@@ -162,6 +168,30 @@ def create_aspect_ratio_groups(dataset, k: int = 0) -> List[int]:
         return [0] * len(ratios)
     bins = (2 ** np.linspace(-1, 1, 2 * k + 1)).tolist()
     return _quantize(ratios, bins)
+
+
+class ShardedSampler:
+    """Every ``process_count``-th index of a base sampler, starting at
+    ``process_index`` — per-host dataloader sharding.
+
+    Parity: Accelerate shards each rank's loader (DDP,
+    ``main/det/train_edtr.py:138-139``; ``utils/detection.py`` relies on the
+    DistributedSampler rank::world subsetting). All hosts seed the base
+    RandomSampler identically, so shards partition one global permutation.
+    """
+
+    def __init__(self, base, process_index: int, process_count: int):
+        self.base = base
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def __iter__(self):
+        return itertools.islice(
+            iter(self.base), self.process_index, None, self.process_count)
+
+    def __len__(self):
+        n = len(self.base)
+        return (n - self.process_index + self.process_count - 1) // self.process_count
 
 
 def make_dataloader(
@@ -173,16 +203,37 @@ def make_dataloader(
     seed: int = 231,
     drop_last: bool = True,
     collate=collate_fn,
+    process_index: int = None,
+    process_count: int = None,
+    split_batches: bool = True,
 ):
-    """Host dataloader with optional aspect-ratio grouped batching."""
+    """Host dataloader: optional aspect-ratio grouped batching + per-host
+    sharding. ``batch_size`` is GLOBAL when ``split_batches`` (the reference's
+    ``DataLoaderConfiguration(split_batches=True)``): each host loads
+    batch_size / process_count items."""
     import torch.utils.data as tud
+
+    if process_count is None:
+        import jax
+
+        process_count = jax.process_count()
+        process_index = jax.process_index()
+
+    if split_batches and process_count > 1:
+        if batch_size % process_count:
+            raise ValueError(
+                f"global batch {batch_size} must divide across "
+                f"{process_count} hosts (split_batches semantics)")
+        batch_size = batch_size // process_count
 
     if shuffle:
         g = __import__("torch").Generator()
-        g.manual_seed(seed)
+        g.manual_seed(seed)  # same permutation on every host
         sampler = tud.RandomSampler(_TorchWrap(dataset), generator=g)
     else:
         sampler = tud.SequentialSampler(_TorchWrap(dataset))
+    if process_count > 1:
+        sampler = ShardedSampler(sampler, process_index, process_count)
 
     if aspect_ratio_group_factor >= 0:
         group_ids = create_aspect_ratio_groups(dataset, aspect_ratio_group_factor)

@@ -65,6 +65,15 @@ class CocoEvaluator:
                 "labels": np.asarray(pred["labels"], np.int64).ravel(),
             }
 
+    @staticmethod
+    def merge_prediction_shards(shards) -> Dict:
+        """Merge per-process prediction dicts (last writer wins per image,
+        matching the reference's dict.update over gathered objects)."""
+        merged: Dict = {}
+        for shard in shards:
+            merged.update(shard)
+        return merged
+
     def synchronize_between_processes(self) -> None:
         """Multihost merge of prediction dicts (the reference pickles numpy
         state over ``dist.all_gather_object``, utils/detection.py:631-644)."""
@@ -72,15 +81,18 @@ class CocoEvaluator:
 
         if jax.process_count() == 1:
             return
-        from jax.experimental import multihost_utils
+        from jax.experimental import multihost_utils  # pragma: no cover
 
-        gathered = multihost_utils.process_allgather(
-            np.frombuffer(_pickle(self.dt), dtype=np.uint8)
-        )  # pragma: no cover (multi-host only)
-        merged = {}
-        for row in gathered:
-            merged.update(_unpickle(row.tobytes()))
-        self.dt = merged
+        # blobs are ragged across processes: gather sizes, pad, gather, trim
+        blob = np.frombuffer(_pickle(self.dt), dtype=np.uint8)
+        sizes = multihost_utils.process_allgather(
+            np.asarray([blob.size], np.int64)).ravel()
+        padded = np.zeros((int(sizes.max()),), np.uint8)
+        padded[: blob.size] = blob
+        gathered = multihost_utils.process_allgather(padded)
+        self.dt = self.merge_prediction_shards(
+            _unpickle(np.asarray(gathered[i][: int(sizes[i])]).tobytes())
+            for i in range(len(sizes)))
 
     # -- evaluation -----------------------------------------------------------
     def accumulate(self) -> None:
