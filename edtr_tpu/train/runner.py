@@ -673,6 +673,9 @@ def task_eval(cfg_path: str, task: str, debug: bool = False, seed: int = 231,
     resume = test_cfg.get(f"resume_{net_key}", None)
     if resume and os.path.exists(str(resume)):
         params = ckpt.load_network(str(resume), template=params, strict=False)
+    else:
+        print(f"WARNING: resume_{net_key} not found ({resume!r}); "
+              "evaluating a randomly-initialized task net")
 
     apply = jax.jit(lambda p, x: net.apply(p, x, normalize=True))
     n = min(len(dataset), max_images or (4 if debug else len(dataset)))
@@ -719,6 +722,9 @@ def _restore_eval_loop(cfg_path: str, task: str, restore_builder,
     resume = test_cfg.get(f"resume_{net_key}", None)
     if resume and os.path.exists(str(resume)):
         net_vars = ckpt.load_network(str(resume), template=net_vars, strict=False)
+    else:
+        print(f"WARNING: resume_{net_key} not found ({resume!r}); "
+              "evaluating a randomly-initialized task net")
 
     restore_fn = restore_builder(cfg)
     apply = jax.jit(lambda v, x: net.apply(v, x, normalize=True))
@@ -992,6 +998,13 @@ def edtr_eval(
     path = test_cfg.get("resume_detnet", None)
     if path and os.path.exists(str(path)):
         det_params = ckpt.load_network(str(path), template=det_params, strict=False)
+    elif not debug:
+        # the reference fails loudly on missing checkpoints (strict load,
+        # utils/common.py:272-334); silently evaluating a random detnet
+        # would waste a TPU run
+        raise FileNotFoundError(
+            f"resume_detnet missing or not found ({path!r}); refusing to "
+            "evaluate a randomly-initialized detector (pass --debug to allow)")
 
     dataset = instantiate_from_config(cfg["dataset"]["val"])
     gt_index = gt_from_dataset(dataset)
