@@ -1,24 +1,25 @@
-"""Blockwise (flash) attention forward in Pallas for TPU.
+"""Blockwise (flash) attention forward AND backward in Pallas for TPU.
 
 The hot UNet/ControlNet attention shapes at 512² EDTR (SURVEY.md §7 step 5)
 are self-attention with seq 4096/1024/256 and head_dim 64, plus 77-token
 cross-attention. The XLA path materializes (N, N) logits per head in HBM;
-this kernel streams KV blocks through VMEM with an online softmax, so HBM
-traffic drops from O(N²) to O(N·D) — the standard flash-attention recipe
-(blockwise max/denominator carried in VMEM scratch).
+these kernels stream KV blocks through VMEM with an online softmax, so HBM
+traffic drops from O(N²) to O(N·D) — the standard flash-attention recipe.
 
-Backward: a ``jax.custom_vjp`` that recomputes attention with the XLA path —
-training wraps blocks in remat anyway, and the frozen-UNet inference path
-(the EDTR hot loop) never differentiates through here.
+Backward is the flash recipe too (not XLA recompute): the forward saves the
+per-query logsumexp L; the VJP computes D = rowsum(dO·O) with XLA, then two
+Pallas kernels produce dQ (grid over query blocks) and dK/dV (grid over KV
+blocks), each re-materializing probability blocks in VMEM from Q·K and L —
+so training sees the same O(N·D) HBM traffic as inference.
 
-Grid: (batch*heads, num_q_blocks); the KV loop runs inside the kernel via
-``jax.lax.fori_loop`` over VMEM-resident K/V (loaded whole per (b,h) —
-N≤4096 × D=64 fp32 = 1 MB each, well under the 16 MB VMEM budget).
+Grid: (batch*heads, num_blocks); K/V (or Q/dO) are VMEM-resident whole per
+(b,h) — N≤4096 × D=64 fp32 ≈ 1 MB each, well under the 16 MB VMEM budget.
 """
 
 from __future__ import annotations
 
 import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -46,8 +47,16 @@ def shapes_supported(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> bool:
     )
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
-    q = q_ref[0].astype(jnp.float32) * scale  # (Q_BLOCK, D)
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"  # CPU tests run interpreted
+
+
+# =============================================================================
+# forward
+# =============================================================================
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float, kv_len: int):
+    q = q_ref[0].astype(jnp.float32) * scale  # (Qb, D)
     num_kv = kv_len // KV_BLOCK
 
     def body(i, carry):
@@ -69,20 +78,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
     l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc, m0, l0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    l_ref[0] = (m + jnp.log(l))[:, 0]  # logsumexp per query
 
 
-def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float):
-    b, nq, h, d = q.shape
-    nk = k.shape[1]
-    # (B, N, H, D) -> (B*H, N, D)
-    qf = q.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
-    vf = v.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
-
-    grid = (b * h, nq // Q_BLOCK)
-    interpret = jax.default_backend() == "cpu"  # CPU tests run interpreted
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_len=nk),
+def _flash_fwd_flat(qf, kf, vf, scale: float):
+    """(BH, Nq, D) x (BH, Nk, D)² -> (out (BH, Nq, D), lse (BH, Nq))."""
+    bh, nq, d = qf.shape
+    nk = kf.shape[1]
+    grid = (bh, nq // Q_BLOCK)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, kv_len=nk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, Q_BLOCK, d), lambda i, j: (i, j, 0),
@@ -92,30 +97,170 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float)
             pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        out_specs=[
+            pl.BlockSpec((1, Q_BLOCK, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q_BLOCK), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq, d), vf.dtype),
+            jax.ShapeDtypeStruct((bh, nq), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(qf, kf, vf)
+
+
+# =============================================================================
+# backward
+# =============================================================================
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref, dq_ref,
+               *, scale: float, kv_len: int):
+    q = q_ref[0].astype(jnp.float32) * scale          # (Qb, D)
+    do = do_ref[0].astype(jnp.float32)                # (Qb, D)
+    lse = l_ref[0][:, None]                           # (Qb, 1)
+    dd = dd_ref[0][:, None]                           # (Qb, 1)
+    num_kv = kv_len // KV_BLOCK
+
+    def body(i, dq):
+        k_blk = k_ref[0, pl.ds(i * KV_BLOCK, KV_BLOCK), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * KV_BLOCK, KV_BLOCK), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        p = jnp.exp(s - lse)                          # softmax probs block
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - dd)
+        return dq + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(
+        0, num_kv, body, jnp.zeros((q.shape[0], q.shape[1]), jnp.float32))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref, dk_ref, dv_ref,
+                *, scale: float, q_len: int):
+    k_blk = k_ref[0].astype(jnp.float32)              # (Kb, D)
+    v_blk = v_ref[0].astype(jnp.float32)              # (Kb, D)
+    num_q = q_len // Q_BLOCK
+    d = k_blk.shape[-1]
+
+    def body(i, carry):
+        dk, dv = carry
+        q_blk = q_ref[0, pl.ds(i * Q_BLOCK, Q_BLOCK), :].astype(jnp.float32) * scale
+        do_blk = do_ref[0, pl.ds(i * Q_BLOCK, Q_BLOCK), :].astype(jnp.float32)
+        lse = l_ref[0, pl.ds(i * Q_BLOCK, Q_BLOCK)][:, None]
+        dd = dd_ref[0, pl.ds(i * Q_BLOCK, Q_BLOCK)][:, None]
+        s = jnp.dot(q_blk, k_blk.T, preferred_element_type=jnp.float32)
+        p = jnp.exp(s - lse)                          # (Qb, Kb)
+        dv = dv + jnp.dot(p.T, do_blk, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do_blk, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - dd)
+        # q_blk carries the scale factor, so ds^T q_blk IS scale * ds^T q
+        dk = dk + jnp.dot(ds.T, q_blk, preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk0 = jnp.zeros((k_blk.shape[0], d), jnp.float32)
+    dv0 = jnp.zeros((k_blk.shape[0], d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_flat(qf, kf, vf, dof, lse, dd, scale: float):
+    bh, nq, d = qf.shape
+    nk = kf.shape[1]
+    full_q = [
+        pl.BlockSpec((1, nq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, kv_len=nk),
+        grid=(bh, nq // Q_BLOCK),
+        in_specs=[
+            pl.BlockSpec((1, Q_BLOCK, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q_BLOCK, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q_BLOCK), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q_BLOCK), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((1, Q_BLOCK, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, nq, d), v.dtype),
-        interpret=interpret,
-    )(qf, kf, vf)
-    return out.reshape(b, h, nq, d).transpose(0, 2, 1, 3)
+        out_shape=jax.ShapeDtypeStruct((bh, nq, d), qf.dtype),
+        interpret=_interpret(),
+    )(qf, kf, vf, dof, lse, dd)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, q_len=nq),
+        grid=(bh, nk // KV_BLOCK),
+        in_specs=[
+            pl.BlockSpec((1, nq, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KV_BLOCK, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KV_BLOCK, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, KV_BLOCK, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KV_BLOCK, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nk, d), kf.dtype),
+            jax.ShapeDtypeStruct((bh, nk, d), vf.dtype),
+        ],
+        interpret=_interpret(),
+    )(qf, kf, vf, dof, lse, dd)
+    return dq, dk, dv
+
+
+# =============================================================================
+# public API: (B, N, H, D) custom-vjp
+# =============================================================================
+
+def _to_flat(x):
+    b, n, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+
+
+def _from_flat(xf, b, h):
+    bh, n, d = xf.shape
+    return xf.reshape(b, h, n, d).transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q, k, v, scale: float):
-    return _flash_forward(q, k, v, scale)
+    out, _ = _flash_fwd_flat(_to_flat(q), _to_flat(k), _to_flat(v), scale)
+    return _from_flat(out, q.shape[0], q.shape[2])
 
 
 def _fwd(q, k, v, scale):
-    return _flash_forward(q, k, v, scale), (q, k, v)
+    b, h = q.shape[0], q.shape[2]
+    qf, kf, vf = _to_flat(q), _to_flat(k), _to_flat(v)
+    of, lse = _flash_fwd_flat(qf, kf, vf, scale)
+    return _from_flat(of, b, h), (qf, kf, vf, of, lse, b, h)
 
 
 def _bwd(scale, residuals, g):
-    # recompute with the XLA reference path and differentiate through it
-    from edtr_tpu.ops.attention import _xla_attention
-
-    q, k, v = residuals
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, scale), q, k, v)
-    return vjp(g)
+    qf, kf, vf, of, lse, b, h = residuals
+    dof = _to_flat(g)
+    # D_i = sum_d dO_i O_i — the softmax-jacobian row correction
+    dd = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1)
+    dqf, dkf, dvf = _flash_bwd_flat(qf, kf, vf, dof, lse, dd, scale)
+    return (_from_flat(dqf, b, h), _from_flat(dkf, b, h), _from_flat(dvf, b, h))
 
 
 flash_attention.defvjp(_fwd, _bwd)

@@ -1,6 +1,8 @@
 """End-to-end slices: flash kernel numerics, DiffJPEG golden, train steps,
 RealESRGAN transform, tiny EDTR pipeline restore."""
 
+import functools
+
 import numpy as np
 import pytest
 
@@ -35,9 +37,19 @@ def test_flash_attention_gradients():
     k = jax.random.normal(k2, (1, 2048, 1, 64), jnp.float32)
     v = jax.random.normal(k3, (1, 2048, 1, 64), jnp.float32)
     scale = 64 ** -0.5
-    gf = jax.grad(lambda q_: flash_attention(q_, k, v, scale).sum())(q)
-    gx = jax.grad(lambda q_: _xla_attention(q_, k, v, scale).sum())(q)
-    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=2e-3, atol=2e-3)
+
+    def loss(fn, q_, k_, v_):
+        # non-uniform cotangent so dK/dV are nontrivial
+        out = fn(q_, k_, v_, scale)
+        w = jnp.sin(jnp.arange(out.size, dtype=jnp.float32)).reshape(out.shape)
+        return (out * w).sum()
+
+    gf = jax.grad(functools.partial(loss, flash_attention), argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(functools.partial(loss, _xla_attention), argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gf, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+            err_msg=f"flash backward {name} mismatch")
 
 
 @pytest.mark.golden
