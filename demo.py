@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import math
 import os
-import os
 import sys
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), ".")))

@@ -78,7 +78,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float, kv_len: int)
     l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc, m0, l0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    l_ref[0] = (m + jnp.log(l))[:, 0]  # logsumexp per query
+    l_ref[0] = m + jnp.log(l)  # (Qb, 1) logsumexp per query
 
 
 def _flash_fwd_flat(qf, kf, vf, scale: float):
@@ -100,12 +100,14 @@ def _flash_fwd_flat(qf, kf, vf, scale: float):
         out_specs=[
             pl.BlockSpec((1, Q_BLOCK, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q_BLOCK), lambda i, j: (i, j),
+            # (bh, nq, 1): a trailing singleton lane keeps the TPU block
+            # rules happy (block dims must divide (8,128) or equal the array)
+            pl.BlockSpec((1, Q_BLOCK, 1), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, nq, d), vf.dtype),
-            jax.ShapeDtypeStruct((bh, nq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nq, 1), jnp.float32),
         ],
         interpret=_interpret(),
     )(qf, kf, vf)
@@ -119,8 +121,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref, dq_ref,
                *, scale: float, kv_len: int):
     q = q_ref[0].astype(jnp.float32) * scale          # (Qb, D)
     do = do_ref[0].astype(jnp.float32)                # (Qb, D)
-    lse = l_ref[0][:, None]                           # (Qb, 1)
-    dd = dd_ref[0][:, None]                           # (Qb, 1)
+    lse = l_ref[0]                                    # (Qb, 1)
+    dd = dd_ref[0]                                    # (Qb, 1)
     num_kv = kv_len // KV_BLOCK
 
     def body(i, dq):
@@ -148,8 +150,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref, dk_ref, dv_ref,
         dk, dv = carry
         q_blk = q_ref[0, pl.ds(i * Q_BLOCK, Q_BLOCK), :].astype(jnp.float32) * scale
         do_blk = do_ref[0, pl.ds(i * Q_BLOCK, Q_BLOCK), :].astype(jnp.float32)
-        lse = l_ref[0, pl.ds(i * Q_BLOCK, Q_BLOCK)][:, None]
-        dd = dd_ref[0, pl.ds(i * Q_BLOCK, Q_BLOCK)][:, None]
+        lse = l_ref[0, pl.ds(i * Q_BLOCK, Q_BLOCK), :]   # (Qb, 1)
+        dd = dd_ref[0, pl.ds(i * Q_BLOCK, Q_BLOCK), :]
         s = jnp.dot(q_blk, k_blk.T, preferred_element_type=jnp.float32)
         p = jnp.exp(s - lse)                          # (Qb, Kb)
         dv = dv + jnp.dot(p.T, do_blk, preferred_element_type=jnp.float32)
@@ -184,9 +186,9 @@ def _flash_bwd_flat(qf, kf, vf, dof, lse, dd, scale: float):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Q_BLOCK, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q_BLOCK), lambda i, j: (i, j),
+            pl.BlockSpec((1, Q_BLOCK, 1), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q_BLOCK), lambda i, j: (i, j),
+            pl.BlockSpec((1, Q_BLOCK, 1), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, Q_BLOCK, d), lambda i, j: (i, j, 0),
@@ -207,9 +209,9 @@ def _flash_bwd_flat(qf, kf, vf, dof, lse, dd, scale: float):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nq, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq), lambda i, j: (i, 0),
+            pl.BlockSpec((1, nq, 1), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq), lambda i, j: (i, 0),
+            pl.BlockSpec((1, nq, 1), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -258,7 +260,8 @@ def _bwd(scale, residuals, g):
     qf, kf, vf, of, lse, b, h = residuals
     dof = _to_flat(g)
     # D_i = sum_d dO_i O_i — the softmax-jacobian row correction
-    dd = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1)
+    dd = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32),
+                 axis=-1, keepdims=True)  # (bh, nq, 1)
     dqf, dkf, dvf = _flash_bwd_flat(qf, kf, vf, dof, lse, dd, scale)
     return (_from_flat(dqf, b, h), _from_flat(dkf, b, h), _from_flat(dvf, b, h))
 

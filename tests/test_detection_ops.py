@@ -119,6 +119,15 @@ def test_chunked_nms_equals_naive_greedy():
     scores = g.random(n).astype(np.float32)
     valid = g.random(n) > 0.1
 
+    def np_iou(a, b):
+        area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        lt = np.maximum(a[:, None, :2], b[None, :, :2])
+        rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+        wh = np.clip(rb - lt, 0, None)
+        inter = wh[..., 0] * wh[..., 1]
+        return inter / np.maximum(area_a[:, None] + area_b[None] - inter, 1e-9)
+
     def naive(boxes, scores, valid, t):
         order = np.argsort(-np.where(valid, scores, -np.inf))
         keep = np.zeros(n, bool)
@@ -126,8 +135,7 @@ def test_chunked_nms_equals_naive_greedy():
         for i in order:
             if not valid[i]:
                 continue
-            iou = np.asarray(B.box_iou(jnp.asarray(boxes[i][None]),
-                                       jnp.asarray(boxes[kept])))[0] if kept else np.zeros(0)
+            iou = np_iou(boxes[i][None], boxes[kept])[0] if kept else np.zeros(0)
             if not (iou > t).any():
                 keep[i] = True
                 kept.append(i)
