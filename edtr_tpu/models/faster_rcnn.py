@@ -471,7 +471,8 @@ class FasterRCNN(nn.Module):
         post_nms = self.rpn_post_nms_top_n_train if training_mode else self.rpn_post_nms_top_n_test
 
         def per_image_proposals(obj_list, delta_list):
-            lvl_boxes, lvl_scores, lvl_ids, lvl_valid = [], [], [], []
+            lvl_boxes, lvl_scores, lvl_valid = [], [], []
+            max_k = min(pre_nms, max(a.shape[0] for a in anchors))
             for li, (obj, dlt, anc) in enumerate(zip(obj_list, delta_list, anchors)):
                 n_l = anc.shape[0]
                 # NHWC flatten: index (h*W + w)*A + a — matches the anchor
@@ -485,19 +486,27 @@ class FasterRCNN(nn.Module):
                 top_boxes = box_ops.clip_boxes_to_image(top_boxes, img_h, img_w)
                 valid = box_ops.small_box_mask(top_boxes, 1e-3)
                 valid &= jax.nn.sigmoid(top_scores) >= self.rpn_score_thresh
+                # pad levels to a common size so per-level NMS runs under
+                # vmap (batched-by-level NMS == independent per-level NMS)
+                pad = max_k - k
+                if pad:
+                    top_boxes = jnp.pad(top_boxes, ((0, pad), (0, 0)))
+                    top_scores = jnp.pad(top_scores, (0, pad),
+                                         constant_values=-jnp.inf)
+                    valid = jnp.pad(valid, (0, pad))
                 lvl_boxes.append(top_boxes)
                 lvl_scores.append(top_scores)
-                lvl_ids.append(jnp.full((k,), li, jnp.int32))
                 lvl_valid.append(valid)
-            all_boxes = jnp.concatenate(lvl_boxes)
-            all_scores = jnp.concatenate(lvl_scores)
-            all_ids = jnp.concatenate(lvl_ids)
-            all_valid = jnp.concatenate(lvl_valid)
-            keep = box_ops.batched_nms_mask(
-                all_boxes, all_scores, all_ids, self.rpn_nms_thresh, all_valid
-            )
+            lb = jnp.stack(lvl_boxes)      # (L, max_k, 4)
+            ls = jnp.stack(lvl_scores)     # (L, max_k)
+            lv = jnp.stack(lvl_valid)
+            keep = jax.vmap(
+                lambda b, s, v: box_ops.nms_mask(b, s, self.rpn_nms_thresh, v)
+            )(lb, ls, lv)
+            all_boxes = lb.reshape(-1, 4)
+            all_scores = ls.reshape(-1)
             idx, kvalid = box_ops.top_k_by_score(
-                all_scores, min(post_nms, all_boxes.shape[0]), keep
+                all_scores, min(post_nms, all_boxes.shape[0]), keep.reshape(-1)
             )
             return all_boxes[idx], all_scores[idx], kvalid
 
@@ -677,26 +686,35 @@ class FasterRCNN(nn.Module):
             scores = jax.nn.softmax(logits, axis=-1)  # (P, C)
             boxes = box_ops.decode_boxes(deltas, props, self.bbox_reg_weights)
             boxes = box_ops.clip_boxes_to_image(boxes, img_h, img_w)  # (P, C, 4)
-            # drop background (class 0); flatten classes
-            fg_boxes = boxes[:, 1:, :].reshape(-1, 4)
-            fg_scores = scores[:, 1:].reshape(-1)
-            fg_labels = jnp.tile(jnp.arange(1, nc, dtype=jnp.int32), (props.shape[0],))
-            valid = jnp.repeat(pvalid, nc - 1)
-            valid &= fg_scores > self.box_score_thresh
-            valid &= box_ops.small_box_mask(fg_boxes, 1e-2)
-            if self.box_pre_nms_top_n and self.box_pre_nms_top_n < fg_scores.shape[0]:
-                idx, ivalid = box_ops.top_k_by_score(
-                    fg_scores, self.box_pre_nms_top_n, valid)
-                cb, cs, cl = fg_boxes[idx], fg_scores[idx], fg_labels[idx]
-            else:
-                cb, cs, cl, ivalid = fg_boxes, fg_scores, fg_labels, valid
-            keep = box_ops.batched_nms_mask(cb, cs, cl, self.box_nms_thresh, ivalid)
-            idx2, fvalid = box_ops.top_k_by_score(cs, d_per_img, keep)
-            out_boxes = cb[idx2] * unscale  # back to original image coords
+            # batched_nms-by-label == independent per-class NMS, so run the
+            # classes UNDER vmap: sequential greedy depth drops from
+            # (C-1)*P to P while staying exactly torch's semantics (the
+            # coordinate-offset trick separates classes anyway)
+            cb = boxes[:, 1:, :].transpose(1, 0, 2)           # (C-1, P, 4)
+            cs = scores[:, 1:].T                               # (C-1, P)
+            valid = pvalid[None, :] & (cs > self.box_score_thresh)
+            valid &= box_ops.small_box_mask(cb, 1e-2)
+            if self.box_pre_nms_top_n and self.box_pre_nms_top_n < cs.shape[1]:
+                # optional per-class candidate cap (0 = torch-exact, default)
+                def cap(b, s, v):
+                    idx, iv = box_ops.top_k_by_score(s, self.box_pre_nms_top_n, v)
+                    return b[idx], s[idx], iv
+
+                cb, cs, valid = jax.vmap(cap)(cb, cs, valid)
+            keep = jax.vmap(
+                lambda b, s, v: box_ops.nms_mask(b, s, self.box_nms_thresh, v)
+            )(cb, cs, valid)
+            flat_scores = cs.reshape(-1)
+            flat_boxes = cb.reshape(-1, 4)
+            flat_labels = jnp.repeat(
+                jnp.arange(1, nc, dtype=jnp.int32), cs.shape[1])
+            idx2, fvalid = box_ops.top_k_by_score(
+                flat_scores, d_per_img, keep.reshape(-1))
+            out_boxes = flat_boxes[idx2] * unscale  # original image coords
             return dict(
                 boxes=out_boxes,
-                scores=jnp.where(fvalid, cs[idx2], 0.0),
-                labels=jnp.where(fvalid, cl[idx2], 0),
+                scores=jnp.where(fvalid, flat_scores[idx2], 0.0),
+                labels=jnp.where(fvalid, flat_labels[idx2], 0),
                 valid=fvalid,
             )
 
