@@ -26,26 +26,20 @@ _WAVELET_KERNEL = jnp.array(
 
 
 def wavelet_blur(image: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """Depthwise 3x3 box-gauss blur with dilation=radius, replicate pad.
+    """3x3 box-gauss blur with dilation=radius, replicate pad.
 
-    Parity: ``utils/common.py:99-118``. NHWC; channel count inferred.
+    Parity: ``utils/common.py:99-118``. The kernel is [1,2,1]/4 separable, so
+    this runs as six shifted adds instead of a depthwise conv — a C=3
+    depthwise conv wastes 125/128 TPU lanes (measured ~5 ms/img of the 512²
+    pipeline); the elementwise form vectorizes over the whole tensor.
     """
-    c = image.shape[-1]
-    kernel = _WAVELET_KERNEL.astype(image.dtype)
-    # depthwise: HWIO with feature_group_count=C, I/groups=1
-    kernel = jnp.tile(kernel[:, :, None, None], (1, 1, 1, c))
-    padded = jnp.pad(
-        image, ((0, 0), (radius, radius), (radius, radius), (0, 0)), mode="edge"
-    )
-    return jax.lax.conv_general_dilated(
-        padded,
-        kernel,
-        window_strides=(1, 1),
-        padding="VALID",
-        rhs_dilation=(radius, radius),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
+    h, w = image.shape[1], image.shape[2]
+
+    p = jnp.pad(image, ((0, 0), (radius, radius), (0, 0), (0, 0)), mode="edge")
+    v = (p[:, : h] + 2.0 * p[:, radius: h + radius] + p[:, 2 * radius:]) * 0.25
+    p = jnp.pad(v, ((0, 0), (0, 0), (radius, radius), (0, 0)), mode="edge")
+    return (p[:, :, : w] + 2.0 * p[:, :, radius: w + radius]
+            + p[:, :, 2 * radius:]) * 0.25
 
 
 def wavelet_decomposition(
