@@ -63,33 +63,48 @@ class GroupNorm32(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        x = x.astype(jnp.float32)
         g = self.num_groups
         spatial = x.shape[1:-1]
+        # keep the tensor in its compute dtype; every consumer fuses its OWN
+        # f32 upcast into its read. An up-front x.astype(f32) made XLA
+        # materialize a full fp32 copy shared by the stats and apply kernels
+        # — 3x the HBM traffic on the 512² VAE maps (measured 17.6% MFU
+        # resblocks; the decoder is 21% of the pipeline).
         xg = x.reshape(x.shape[0], -1, g, c // g)  # (B, S, G, C/G)
-        # tiled-VAE GroupNorm sync (utils/tilevae/tilevae.py:232-278 parity):
-        # pass 1 sows per-group (count, sum, sumsq); pass 2 injects globally
-        # aggregated moments through the "gn_moments" collection.
-        self.sow(
-            "gn_stats",
-            "stats",
-            (
-                jnp.asarray(xg.shape[1] * xg.shape[3], jnp.float32),
-                xg.sum(axis=(1, 3)),          # (B, G)
-                (xg * xg).sum(axis=(1, 3)),   # (B, G)
-            ),
-            reduce_fn=lambda a, b: b,
+        # two-pass fp32 stats (no E[x²]-E[x]² cancellation) over the RAW
+        # tile data — these feed the sow below even when global moments are
+        # injected, so the tiled-VAE fixed-point iteration keeps observing
+        # the actual tiles
+        t_mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+        t_var = jnp.mean(
+            jnp.square(xg.astype(jnp.float32) - t_mean),
+            axis=(1, 3), keepdims=True,
         )
         if self.has_variable("gn_moments", "mean"):
             mean = self.get_variable("gn_moments", "mean")[:, None, :, None]
             var = self.get_variable("gn_moments", "var")[:, None, :, None]
         else:
-            mean = xg.mean(axis=(1, 3), keepdims=True)
-            var = xg.var(axis=(1, 3), keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
-        x = xg.reshape((x.shape[0],) + spatial + (c,))
-        x = x * scale + bias
-        return x.astype(orig_dtype)
+            mean, var = t_mean, t_var
+        # tiled-VAE GroupNorm sync (utils/tilevae/tilevae.py:232-278 parity):
+        # pass 1 sows per-group (count, sum, sumsq); pass 2 injects globally
+        # aggregated moments through the "gn_moments" collection. The sown
+        # sums derive from the raw tile moments (no extra reductions beyond
+        # the two stats passes; XLA drops them when the collection is
+        # immutable).
+        count = jnp.asarray(xg.shape[1] * xg.shape[3], jnp.float32)
+        mean_g = t_mean[:, 0, :, 0]
+        var_g = t_var[:, 0, :, 0]
+        self.sow(
+            "gn_stats",
+            "stats",
+            (count, mean_g * count, (var_g + jnp.square(mean_g)) * count),
+            reduce_fn=lambda a, b: b,
+        )
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        xn = (xg.astype(jnp.float32) - mean) * inv
+        y = xn.reshape((x.shape[0],) + spatial + (c,))
+        y = y * scale + bias
+        return y.astype(orig_dtype)
 
 
 class LayerNorm(nn.Module):
@@ -103,11 +118,12 @@ class LayerNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        x = x.astype(jnp.float32)
-        mean = x.mean(axis=-1, keepdims=True)
-        var = x.var(axis=-1, keepdims=True)
-        x = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return (x * scale + bias).astype(orig_dtype)
+        # consumers fuse their own f32 upcast (see GroupNorm32 note)
+        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+        var = jnp.mean(jnp.square(x.astype(jnp.float32) - mean),
+                       axis=-1, keepdims=True)
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(orig_dtype)
 
 
 def conv(
