@@ -28,6 +28,9 @@ A6000_BASELINE_IMG_S = 1.55
 BATCH = int(os.environ.get("EDTR_BENCH_BATCH", "8"))
 ITERS = int(os.environ.get("EDTR_BENCH_ITERS", "10"))
 WITH_DETNET = os.environ.get("EDTR_BENCH_DETNET", "1") == "1"
+# fuse restore+detect into ONE executable (single dispatch/iter); falls back
+# to two executables automatically if the fused graph fails to fit/compile
+FUSED = os.environ.get("EDTR_BENCH_FUSED", "0") == "1"
 
 
 def main() -> None:
@@ -72,10 +75,6 @@ def main() -> None:
 
     # explicit lower+compile so the SAME executable yields both the timing
     # and XLA's cost analysis (for the MFU line) without a second compile
-    restore_fn = jax.jit(
-        lambda p, lq, rng: pipe.restore(p, lq, rng, c_txt=c_txt)["restored"]
-    ).lower(params, lq, rng).compile()
-
     def _flops(compiled):
         try:
             cost = compiled.cost_analysis()
@@ -84,6 +83,38 @@ def main() -> None:
             return float(cost.get("flops", 0.0))
         except Exception:
             return 0.0
+
+    if FUSED and detnet is not None:
+        def fused(p, dv, prev, rng):
+            lq_in = jnp.clip(prev, 0, 1).astype(jnp.float32)
+            restored = pipe.restore(p, lq_in, rng, c_txt=c_txt)["restored"]
+            scores = detnet.apply(dv, restored)[0]["scores"]
+            return restored, scores
+
+        prev0 = lq.astype(jnp.bfloat16)
+        try:
+            fused_fn = jax.jit(fused).lower(params, det_vars, prev0, rng).compile()
+            out, scores = fused_fn(params, det_vars, prev0, rng)
+            jax.block_until_ready((out, scores))
+            total_flops = _flops(fused_fn)
+            t0 = time.time()
+            for i in range(ITERS):
+                out, scores = fused_fn(params, det_vars, out,
+                                       jax.random.fold_in(rng, i))
+            sink = float(out.astype(jnp.float32).mean())
+            sink += float(scores.astype(jnp.float32).mean())
+            dt = (time.time() - t0) / ITERS
+            _report(dt, total_flops, detnet, image_size)
+            return
+        except Exception as e:
+            import sys
+
+            print(f"# fused graph fell back: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
+    restore_fn = jax.jit(
+        lambda p, lq, rng: pipe.restore(p, lq, rng, c_txt=c_txt)["restored"]
+    ).lower(params, lq, rng).compile()
 
     out = restore_fn(params, lq, rng)
     out.block_until_ready()
@@ -125,6 +156,13 @@ def main() -> None:
     if detect_fn is not None:
         sink += float(scores.astype(jnp.float32).mean())
     dt = (time.time() - t0) / ITERS
+
+    _report(dt, total_flops, detnet, image_size)
+
+
+def _report(dt, total_flops, detnet, image_size):
+    import jax
+    import json
 
     img_s = BATCH / dt
     stages = "SwinIR + 4-step ControlNet/UNet scan + VAE decode + wavelet" + (
