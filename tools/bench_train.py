@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""EDTR train-step throughput on the real chip.
+
+Measures the full two-optimizer alternating update (HLF half: one
+ControlNet+UNet reverse + decode + wavelet + 4 detnet feature passes,
+backward through ControlNet+decoder; detnet half: K-step sampling + detector
+losses, backward through the detector) at SD2.1 scale — the hot loop of
+``main/det/train_edtr.py:160-250``.
+
+Env: EDTR_TRAIN_BENCH_BATCH (4), EDTR_TRAIN_BENCH_SIZE (512),
+EDTR_TRAIN_BENCH_ITERS (5), EDTR_TRAIN_BENCH_DETNET=0 to use the pixel-L1
+fallback instead of the detector.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH = int(os.environ.get("EDTR_TRAIN_BENCH_BATCH", "4"))
+SIZE = int(os.environ.get("EDTR_TRAIN_BENCH_SIZE", "512"))
+ITERS = int(os.environ.get("EDTR_TRAIN_BENCH_ITERS", "5"))
+WITH_DETNET = os.environ.get("EDTR_TRAIN_BENCH_DETNET", "1") == "1"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as G
+    from edtr_tpu.train.edtr_step import EDTRTrainState, make_edtr_train_step
+
+    pipe = G._flagship_pipeline(dtype=jnp.bfloat16, tiny=False)
+    # training wants remat on the UNet/ControlNet (use_checkpoint parity)
+    params = G._init_params(pipe, jax.random.PRNGKey(0), SIZE)
+
+    detnet = None
+    if WITH_DETNET:
+        from edtr_tpu.models.faster_rcnn import fasterrcnn_mobilenet_v3_large_fpn
+
+        detnet = fasterrcnn_mobilenet_v3_large_fpn(num_classes=21, dtype=jnp.bfloat16)
+        det_vars = jax.jit(detnet.init)(
+            {"params": jax.random.PRNGKey(7)},
+            jnp.zeros((1, SIZE, SIZE, 3)))
+        params["detnet"] = det_vars
+        params["teacher_detnet"] = jax.tree.map(jnp.copy, det_vars)
+
+    state = EDTRTrainState.create(pipe, params)
+    step = make_edtr_train_step(pipe, detnet=detnet)
+
+    g = 8
+    batch = {
+        "lq": jax.random.uniform(jax.random.PRNGKey(1), (BATCH, SIZE, SIZE, 3)),
+        "gt": jax.random.uniform(jax.random.PRNGKey(2), (BATCH, SIZE, SIZE, 3)),
+        "c_txt": jnp.zeros(
+            (BATCH, pipe.cldm.clip.context_length, pipe.cldm.clip.width),
+            jnp.float32),
+    }
+    if detnet is not None:
+        bx = jax.random.uniform(jax.random.PRNGKey(3), (BATCH, g, 2)) * (SIZE - 64)
+        wh = jax.random.uniform(jax.random.PRNGKey(4), (BATCH, g, 2)) * 64 + 16
+        batch["targets"] = {
+            "boxes": jnp.concatenate([bx, bx + wh], axis=-1),
+            "labels": jax.random.randint(jax.random.PRNGKey(5), (BATCH, g), 1, 21),
+            "valid": jnp.ones((BATCH, g), bool),
+        }
+
+    rng = jax.random.PRNGKey(231)
+    t0 = time.time()
+    state, metrics = step(state, batch, rng)
+    jax.block_until_ready(metrics)
+    t_compile = time.time() - t0
+
+    t0 = time.time()
+    for i in range(ITERS):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+    sink = {k: float(v) for k, v in metrics.items()}
+    dt = (time.time() - t0) / ITERS
+
+    print(json.dumps({
+        "metric": f"EDTR-s4 {SIZE}x{SIZE} TRAIN step (two-optimizer alternating"
+                  f"{', detnet' if detnet is not None else ', pixel-L1'}), "
+                  f"bs={BATCH}, bf16",
+        "value": round(BATCH / dt, 3),
+        "unit": "images/sec/chip",
+        "sec_per_step": round(dt, 3),
+        "compile_sec": round(t_compile, 1),
+        "losses": {k: round(v, 4) for k, v in sink.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()
