@@ -130,20 +130,25 @@ class Decoder(nn.Module):
     out_ch: int = 3
     ch_mult: Sequence[int] = (1, 2, 4, 4)
     num_res_blocks: int = 2
+    # rematerialize resblocks in the backward pass (TPU training aid — the
+    # EDTR recipe backprops through the decoder at 512², which OOMs 16 GB
+    # HBM without remat; no reference counterpart, default off)
+    use_checkpoint: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        RB = nn.remat(ResnetBlock) if self.use_checkpoint else ResnetBlock
         z = z.astype(self.dtype or z.dtype)
         block_in = self.ch * self.ch_mult[-1]
         h = conv(block_in, 3, padding=1, dtype=self.dtype, name="conv_in")(z)
-        h = ResnetBlock(out_channels=block_in, dtype=self.dtype, name="mid_block_1")(h)
+        h = RB(out_channels=block_in, dtype=self.dtype, name="mid_block_1")(h)
         h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(out_channels=block_in, dtype=self.dtype, name="mid_block_2")(h)
+        h = RB(out_channels=block_in, dtype=self.dtype, name="mid_block_2")(h)
         for i_level in reversed(range(len(self.ch_mult))):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks + 1):
-                h = ResnetBlock(
+                h = RB(
                     out_channels=block_out,
                     dtype=self.dtype,
                     name=f"up_{i_level}_block_{i_block}",
@@ -180,6 +185,7 @@ class AutoencoderKL(nn.Module):
             out_ch=dd.get("out_ch", 3),
             ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
             num_res_blocks=dd.get("num_res_blocks", 2),
+            use_checkpoint=dd.get("use_checkpoint", False),
             dtype=self.dtype,
         )
         z = dd.get("z_channels", 4)

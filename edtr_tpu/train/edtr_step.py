@@ -153,7 +153,10 @@ def make_edtr_train_step(
     diffusion = pipe.diffusion
     used_ts = jnp.asarray(pipe.used_timesteps, jnp.int32)
 
+    @jax.checkpoint
     def det_feats(det_vars, images):
+        # rematerialized: the HLF half runs four 512² detnet feature passes
+        # whose activations otherwise sit in HBM for the backward
         _, _, feats = detnet.apply(det_vars, images)
         return feats["features"]
 

@@ -32,8 +32,9 @@ def main():
     import __graft_entry__ as G
     from edtr_tpu.train.edtr_step import EDTRTrainState, make_edtr_train_step
 
-    pipe = G._flagship_pipeline(dtype=jnp.bfloat16, tiny=False)
-    # training wants remat on the UNet/ControlNet (use_checkpoint parity)
+    # remat on UNet/ControlNet (use_checkpoint parity with the train
+    # configs) + decoder — the 512² backward OOMs 16 GB HBM without it
+    pipe = G._flagship_pipeline(dtype=jnp.bfloat16, tiny=False, train=True)
     params = G._init_params(pipe, jax.random.PRNGKey(0), SIZE)
 
     detnet = None
