@@ -123,9 +123,16 @@ def build_pipeline_from_config(cfg, dtype=None) -> EDTRPipeline:
 
     cldm_cfg = model_cfg["cldm"]
     cp = cldm_cfg["params"]
+    vae_cfg = dict(cp["vae_cfg"].to_dict() if isinstance(cp["vae_cfg"], Config) else cp["vae_cfg"])
+    if "train" in cfg and vae_cfg.get("train_decoder", False):
+        # training backprops through the decoder at 512² — remat its
+        # resblocks (UNet/ControlNet use_checkpoint comes from the config)
+        dd = dict(vae_cfg.get("ddconfig", {}) or {})
+        dd.setdefault("use_checkpoint", True)
+        vae_cfg["ddconfig"] = dd
     cldm = ControlLDM(
         unet_cfg=dict(cp["unet_cfg"].to_dict() if isinstance(cp["unet_cfg"], Config) else cp["unet_cfg"]),
-        vae_cfg=dict(cp["vae_cfg"].to_dict() if isinstance(cp["vae_cfg"], Config) else cp["vae_cfg"]),
+        vae_cfg=vae_cfg,
         clip_cfg=dict(cp["clip_cfg"].to_dict() if isinstance(cp["clip_cfg"], Config) else cp["clip_cfg"]),
         controlnet_cfg=dict(cp["controlnet_cfg"].to_dict() if isinstance(cp["controlnet_cfg"], Config) else cp["controlnet_cfg"]),
         latent_scale_factor=cp["latent_scale_factor"],
