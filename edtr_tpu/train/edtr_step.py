@@ -53,6 +53,33 @@ def split_trainable(params: Params, train_decoder: bool = True) -> Tuple[Params,
     return trainable, frozen
 
 
+def cast_frozen_bf16(params: Params, train_decoder: bool = True) -> Params:
+    """bf16 storage for submodules that never receive updates.
+
+    Frozen weights need no fp32 masters (the reference keeps fp32 because
+    torch DDP autocast does; on TPU this halves the frozen side's HBM —
+    UNet+CLIP+SwinIR+teacher ≈ 1.2B params). Modules already compute in
+    their ``dtype`` regardless of storage dtype.
+    """
+    def bf16(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            tree)
+
+    out = dict(params)
+    for k in ("unet", "clip", "swinir", "teacher_detnet", "teacher_tasknet"):
+        if k in out:
+            out[k] = bf16(out[k])
+    if "vae" in out:
+        if train_decoder:
+            out["vae"] = {k: (v if k == "decoder" else bf16(v))
+                          for k, v in out["vae"].items()}
+        else:
+            out["vae"] = bf16(out["vae"])
+    return out
+
+
 def merge_params(trainable: Params, frozen: Params) -> Params:
     if "vae_decoder" in trainable:
         vae = {**frozen["vae_rest"], "decoder": trainable["vae_decoder"]}

@@ -131,6 +131,14 @@ def edtr_train(cfg_path: str, debug: bool = False, seed: Optional[int] = None):
     params["detnet"] = det_params
     params["teacher_detnet"] = teacher_params
 
+    if train_cfg.get("frozen_bf16", True):
+        # frozen submodules need no fp32 masters (HBM policy; see
+        # edtr_step.cast_frozen_bf16) — disable with frozen_bf16: false
+        from edtr_tpu.train.edtr_step import cast_frozen_bf16
+
+        params = cast_frozen_bf16(
+            params, getattr(pipe.cldm.vae, "train_decoder", True))
+
     state = EDTRTrainState.create(
         pipe, params,
         learning_rate_edtr=train_cfg.get("learning_rate_edtr", 1e-4),
