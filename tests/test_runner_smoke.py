@@ -301,3 +301,105 @@ def test_edtr_train_det_debug_with_val_and_images(fake_coco, tmp_path):
     logs = g.glob(os.path.join(exp, "*.log"))
     log_txt = "".join(open(p).read() for p in logs) if logs else ""
     assert "AP" in log_txt or "val @" in log_txt, "no val mAP logged"
+
+
+@pytest.fixture(scope="module")
+def fake_voc_seg(tmp_path_factory):
+    """Synthetic VOC segmentation tree (JPEGImages + SegmentationClass)."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("voc")
+    base = root / "VOC2012"
+    (base / "JPEGImages").mkdir(parents=True)
+    (base / "SegmentationClass").mkdir()
+    (base / "ImageSets" / "Segmentation").mkdir(parents=True)
+    g = np.random.default_rng(9)
+    names = [f"2012_{i:06d}" for i in range(4)]
+    for n in names:
+        arr = (g.random((96, 96, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(base / "JPEGImages" / f"{n}.jpg")
+        mask = g.integers(0, 21, (96, 96)).astype(np.uint8)
+        Image.fromarray(mask, mode="L").save(base / "SegmentationClass" / f"{n}.png")
+    with open(base / "ImageSets" / "Segmentation" / "train.txt", "w") as f:
+        f.write("\n".join(names) + "\n")
+    return str(root)
+
+
+def test_task_train_seg_oracle_debug(fake_voc_seg, tmp_path):
+    """Seg oracle recipe (main/seg/train_seg.py parity) over a synthetic VOC
+    tree — exercises the seg loss, SGD wd=1e-6 branch, and the val hooks."""
+    from edtr_tpu.train.runner import task_train
+
+    cfg = dict(
+        model=dict(segnet=dict(
+            target="model.deeplabv3.deeplabv3_mobilenet_v3_large",
+            params=dict(num_classes=21, aux_loss=False))),
+        dataset=dict(
+            use_gt=True,
+            train=dict(
+                target="datasets.segmentation.DegradedSegmentationDataset",
+                params=dict(
+                    root=fake_voc_seg, year="2012", image_set="train",
+                    file_backend_cfg=dict(
+                        target="datasets.file_backend.HardDiskBackend"),
+                    gt_size=96, resize_range=[0.8, 1.2], out_size=64,
+                    crop_type="random", hflip=True, rotation=False,
+                    blur_kernel_size=21, kernel_list=["iso", "aniso"],
+                    kernel_prob=[0.5, 0.5], blur_sigma=[0.1, 4],
+                    downsample_range=[1, 4], noise_range=[0, 10],
+                    jpeg_range=[60, 100]),
+            ),
+        ),
+        train=dict(
+            seed=123, exp_dir=str(tmp_path / "exp_seg"), learning_rate=2e-2,
+            batch_size=2, num_workers=0, train_steps=2,
+        ),
+    )
+    cfg_path = str(tmp_path / "cfg_seg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    state = task_train(cfg_path, task="seg", recipe="task", debug=True)
+    assert int(state.step) == 2
+
+
+def test_sr4ir_train_cls_debug(fake_imagefolder, tmp_path):
+    """SR4IR joint recipe (main/cls/train_swinir-sr4ir.py parity): swinir
+    AdamW wd=0 half + task SGD half + CutMix-quality mix."""
+    from edtr_tpu.train.runner import task_train
+
+    cfg = dict(
+        model=dict(
+            swinir=dict(target="model.swinir.SwinIR", params=dict(
+                embed_dim=16, depths=[2], num_heads=[2], window_size=4,
+                mlp_ratio=2, sf=8, upsampler="nearest+conv", unshuffle=True,
+                unshuffle_scale=8)),
+            clsnet=dict(target="model.resnet.ResNet",
+                        params=dict(type=18, num_classes=2)),
+        ),
+        dataset=dict(
+            train=dict(
+                target="datasets.classification.DegradedClassificationDataset",
+                params=dict(
+                    root=os.path.join(fake_imagefolder, "train"),
+                    file_backend_cfg=dict(
+                        target="datasets.file_backend.HardDiskBackend"),
+                    gt_size=64, out_size=64, crop_type="center",
+                    hflip=True, rotation=False,
+                    blur_kernel_size=21, kernel_list=["iso", "aniso"],
+                    kernel_prob=[0.5, 0.5], blur_sigma=[0.1, 4],
+                    downsample_range=[1, 4], noise_range=[0, 10],
+                    jpeg_range=[60, 100]),
+            ),
+        ),
+        train=dict(
+            seed=123, exp_dir=str(tmp_path / "exp_sr4ir"), pix_weight=1.0,
+            learning_rate_swinir=1e-4, learning_rate_task=5e-3,
+            learning_rate=5e-3, batch_size=2, num_workers=0, train_steps=2,
+        ),
+    )
+    cfg_path = str(tmp_path / "cfg_sr4ir.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    state = task_train(cfg_path, task="cls", recipe="sr4ir", debug=True)
+    sw_state, t_state = state
+    assert int(sw_state.step) == 2 and int(t_state.step) == 2
