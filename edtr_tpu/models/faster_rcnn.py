@@ -20,8 +20,9 @@ TPU-first redesign (SURVEY.md §7 "hard parts" — no dynamic shapes):
 * the torch list-of-images / list-of-dicts API becomes fixed-size padded
   tensors + validity masks: targets {boxes (B,G,4), labels (B,G), valid
   (B,G)}, proposals (B,P,4)+mask, detections (B,D,…)+mask;
-* per-image loops become ``vmap``; NMS is the O(N²) masked-greedy kernel in
-  ``edtr_tpu.ops.boxes``; RoIAlign is gather-based (``edtr_tpu.ops.roi_align``);
+* per-image loops become ``vmap``; NMS is the exact fixpoint-greedy kernel
+  in ``edtr_tpu.ops.boxes`` (vmapped per class/level); RoIAlign is the
+  separable one-hot-matmul kernel (``edtr_tpu.ops.roi_align``);
 * all top-k sizes (pre/post NMS, detections/img, sampled rois) are static.
 """
 
@@ -395,13 +396,11 @@ class FasterRCNN(nn.Module):
 
     def _backbone_cfg(self):
         if self.backbone_type == "mobilenet_v3_large_fpn":
-            return dict(strides=(16, 32, 64),
-                        anchor_sizes=((32, 64, 128, 256, 512),) * 3,
+            return dict(anchor_sizes=((32, 64, 128, 256, 512),) * 3,
                         aspect_ratios=((0.5, 1.0, 2.0),) * 3,
                         rpn_conv_depth=1, box_head="mlp")
         else:  # resnet50_fpn_v2: 5 levels
-            return dict(strides=(4, 8, 16, 32, 64),
-                        anchor_sizes=((32,), (64,), (128,), (256,), (512,)),
+            return dict(anchor_sizes=((32,), (64,), (128,), (256,), (512,)),
                         aspect_ratios=((0.5, 1.0, 2.0),) * 5,
                         rpn_conv_depth=2, box_head="convfc")
 

@@ -171,9 +171,6 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref, dk_ref, dv_ref,
 def _flash_bwd_flat(qf, kf, vf, dof, lse, dd, scale: float):
     bh, nq, d = qf.shape
     nk = kf.shape[1]
-    full_q = [
-        pl.BlockSpec((1, nq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-    ]
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, kv_len=nk),
         grid=(bh, nq // Q_BLOCK),
