@@ -83,19 +83,24 @@ def make_tiled_fn(
 
     def tiled_fn(x: jnp.ndarray, *args, **kwargs) -> jnp.ndarray:
         b, h, w, c = x.shape
+        # auto-shrink oversized tiles (reference VAEHook parity)
+        t_size, t_stride = size, stride
+        if t_size > min(h, w):
+            t_size = min(h, w)
+            t_stride = max(min(t_stride, t_size * 3 // 4), 1)
         out_c = channel or c
         out = jnp.zeros((b, h * scale, w * scale, out_c), dtype=jnp.float32)
         count = jnp.zeros_like(out)
-        ws = size * scale
+        ws = t_size * scale
         weights = (
             gaussian_weights(ws, ws)[None, :, :, None]
             if weight == "gaussian"
             else np.ones((1, ws, ws, 1), np.float32)
         )
         weights = jnp.asarray(weights)
-        for hi, hi_end, wi, wi_end in sliding_windows(h, w, size, stride):
+        for hi, hi_end, wi, wi_end in sliding_windows(h, w, t_size, t_stride):
             x_tile = jax.lax.dynamic_slice(
-                x, (0, hi, wi, 0), (b, size, size, c)
+                x, (0, hi, wi, 0), (b, t_size, t_size, c)
             )
             if args or kwargs:
                 kwargs.update(dict(hi=hi, hi_end=hi_end, wi=wi, wi_end=wi_end))
@@ -200,6 +205,12 @@ def _gn_synced_tiles(
     is ``tile * out_scale_num / out_scale_den``.
     """
     b, h, w, c = x.shape
+    # auto-shrink oversized tiles to the input extent (the reference's
+    # VAEHook does the same, utils/tilevae/tilevae.py:325-338) — e.g. the
+    # demo's decoder tile default exceeds small latents
+    if tile_size > min(h, w):
+        tile_size = min(h, w)
+        stride = max(min(stride, tile_size * 3 // 4), 1)
     sc = lambda v: v * out_scale_num // out_scale_den
 
     moments = None

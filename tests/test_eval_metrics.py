@@ -242,3 +242,17 @@ def test_tiled_model_fn_slices_hint():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(x + c_img), rtol=1e-5, atol=1e-5
     )
+
+
+def test_tiled_fn_auto_shrinks_oversized_tiles():
+    """Tile size larger than the input must auto-shrink (reference VAEHook
+    parity) instead of emitting negative window starts — the demo decoder
+    hits this with small latents."""
+    import jax.numpy as jnp
+
+    from edtr_tpu.utils.tiling import make_tiled_fn
+
+    x = jnp.arange(2 * 24 * 30 * 3, dtype=jnp.float32).reshape(2, 24, 30, 3)
+    f = make_tiled_fn(lambda t, **kw: t * 2.0, size=256, stride=192)
+    out = f(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2.0, rtol=1e-6)
