@@ -103,10 +103,13 @@ class FeaturePyramidNetwork(nn.Module):
 
     ``use_norm`` adds BatchNorm after every conv (bias dropped), matching the
     v2 extractor's ``norm_layer=nn.BatchNorm2d`` (model/faster_rcnn.py:987;
-    Conv2dNormActivation with activation_layer=None). BN runs on running
-    stats (the reference's detnet BN is effectively frozen: is_trained=True
-    via weights_backbone -> FrozenBatchNorm for mobilenet; v2 BN stats come
-    converted and we apply without mutable batch_stats).
+    Conv2dNormActivation with activation_layer=None). BN always applies
+    running stats here. For the MOBILENET variant that matches the reference
+    exactly (is_trained=True via weights_backbone -> FrozenBatchNorm). For
+    the r50v2 train recipes the reference's BN runs in train mode
+    (batch stats + running updates); running converted stats instead is a
+    documented deviation (STATUS.md "Known gaps") chosen for its stability
+    at the small per-chip batches TPU training uses.
     """
 
     out_channels: int = 256

@@ -175,9 +175,12 @@ class ShardedSampler:
     ``process_index`` — per-host dataloader sharding.
 
     Parity: Accelerate shards each rank's loader (DDP,
-    ``main/det/train_edtr.py:138-139``; ``utils/detection.py`` relies on the
-    DistributedSampler rank::world subsetting). All hosts seed the base
+    ``main/det/train_edtr.py:138-139``). All hosts seed the base
     RandomSampler identically, so shards partition one global permutation.
+    Like torch's DistributedSampler, shards are padded to EQUAL length by
+    wrapping around the permutation — otherwise hosts with shorter shards
+    would finish their epoch one step early and desynchronize their RNG
+    streams from then on.
     """
 
     def __init__(self, base, process_index: int, process_count: int):
@@ -186,12 +189,15 @@ class ShardedSampler:
         self.process_count = process_count
 
     def __iter__(self):
-        return itertools.islice(
-            iter(self.base), self.process_index, None, self.process_count)
+        order = list(self.base)
+        per_host = (len(order) + self.process_count - 1) // self.process_count
+        shard = order[self.process_index::self.process_count]
+        while len(shard) < per_host:  # wrap-pad (DistributedSampler semantics)
+            shard.extend(order[: per_host - len(shard)])
+        return iter(shard)
 
     def __len__(self):
-        n = len(self.base)
-        return (n - self.process_index + self.process_count - 1) // self.process_count
+        return (len(self.base) + self.process_count - 1) // self.process_count
 
 
 def make_dataloader(

@@ -441,16 +441,23 @@ def task_train(
     image_every = 1 if debug else train_cfg.get("image_every", 0)
     val_max = 2 if debug else None
 
+    _sw_apply = (jax.jit(lambda p, x: swinir.apply({"params": p}, x))
+                 if swinir is not None else None)
+
     def _current_restore_fn():
-        """(lq, rng) -> restored, per recipe; None when nothing restores."""
+        """(lq, rng) -> restored, per recipe; None when nothing restores.
+
+        Jitted once (params as arg) — eager swinir.apply would pay per-op
+        tunnel RTT on every validation image.
+        """
         if recipe == "swinir-pre":
             p = state.params
-            return lambda x, rng: swinir.apply({"params": p}, x)
+            return lambda x, rng: _sw_apply(p, x)
         if recipe == "sr4ir":
             p = state[0].params
-            return lambda x, rng: swinir.apply({"params": p}, x)
+            return lambda x, rng: _sw_apply(p, x)
         if recipe == "swinir":
-            return lambda x, rng: swinir.apply({"params": sw_params}, x)
+            return lambda x, rng: _sw_apply(sw_params, x)
         return None
 
     def _current_net_vars():
@@ -904,19 +911,22 @@ def diffbir_train(cfg_path: str, task: str, debug: bool = False,
     val_max = 2 if debug else None
     schedule50 = pipe.sampler.make_schedule(train_cfg.get("sample_steps", 50))
 
-    def make_restore(params):
-        def restore(lq, rng):
-            pre = pipe.pre_restore(params, lq)
-            z_pre = pipe.cldm.vae_encode(params, pre * 2 - 1, sample=False)
-            cond = dict(c_txt=jnp.tile(c_txt_one, (lq.shape[0], 1, 1)),
-                        c_img=z_pre)
-            r1, r2 = jax.random.split(rng)
-            x_T = jax.random.normal(r1, z_pre.shape, z_pre.dtype)
-            z = sample_scan(pipe.cldm.model_fn(params), schedule50, x_T, cond, r2)
-            return wavelet_reconstruction(
-                (pipe.cldm.vae_decode(params, z) + 1) / 2, pre)
+    @jax.jit
+    def _restore50(params, lq, rng):
+        # jitted ONCE with params as an argument — rebuilding a closure per
+        # val/image event would recompile the 50-step graph every time
+        pre = pipe.pre_restore(params, lq)
+        z_pre = pipe.cldm.vae_encode(params, pre * 2 - 1, sample=False)
+        cond = dict(c_txt=jnp.tile(c_txt_one, (lq.shape[0], 1, 1)),
+                    c_img=z_pre)
+        r1, r2 = jax.random.split(rng)
+        x_T = jax.random.normal(r1, z_pre.shape, z_pre.dtype)
+        z = sample_scan(pipe.cldm.model_fn(params), schedule50, x_T, cond, r2)
+        return wavelet_reconstruction(
+            (pipe.cldm.vae_decode(params, z) + 1) / 2, pre)
 
-        return jax.jit(restore)
+    def make_restore(params):
+        return lambda lq, rng: _restore50(params, lq, rng)
 
     if task == "det":
         det_eval_fn = jax.jit(lambda v, im: net.apply(v, im)[0])

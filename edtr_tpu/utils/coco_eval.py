@@ -200,10 +200,12 @@ class CocoEvaluator:
                     if best_g == -1:
                         fp[t, di] = not d_out_of_rng[di]
                         continue
+                    # pycocotools sets gtm for EVERY match (ignored or not);
+                    # only crowd gts stay rematchable via the skip condition
+                    taken[best_g] = True
                     if g_ign_s[best_g]:
                         d_ignore_final[t, di] = True  # matched to ignored gt
                     else:
-                        taken[best_g] = True
                         tp[t, di] = 1
                 # unmatched dets outside area range are ignored (not FP)
                 fp[t] = (tp[t] == 0) & ~d_ignore_final[t] & ~d_out_of_rng

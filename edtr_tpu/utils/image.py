@@ -15,14 +15,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-_WAVELET_KERNEL = jnp.array(
-    [
-        [0.0625, 0.125, 0.0625],
-        [0.125, 0.25, 0.125],
-        [0.0625, 0.125, 0.0625],
-    ],
-    dtype=jnp.float32,
-)
 
 
 def wavelet_blur(image: jnp.ndarray, radius: int) -> jnp.ndarray:

@@ -79,3 +79,23 @@ def test_coco_merge_prediction_shards():
     stats = ev.summarize(verbose=False)
     # perfect detections on every image -> AP 1.0
     assert abs(stats["AP"] - 1.0) < 1e-6
+
+
+def test_sharded_loader_pads_ragged_shards():
+    """len(dataset) % world != 0: shards wrap-pad to equal length
+    (DistributedSampler semantics) so hosts stay step-synchronized."""
+    from edtr_tpu.train.harness import make_dataloader
+
+    n, world = 31, 2
+    per_host_epochs = []
+    seen = []
+    for rank in range(world):
+        loader = make_dataloader(
+            _Range(n), batch_size=8, shuffle=True, seed=11,
+            process_index=rank, process_count=world)
+        batches = list(loader)
+        per_host_epochs.append(len(batches))
+        seen.extend(int(t) for b in batches for t in b[2])
+    assert per_host_epochs[0] == per_host_epochs[1]  # equal steps per epoch
+    # union covers (almost) everything; exactly one wrapped duplicate
+    assert len(set(seen)) >= n - world

@@ -37,19 +37,6 @@ def main():
     pipe = G._flagship_pipeline(dtype=jnp.bfloat16, tiny=False, train=True)
     params = G._init_params(pipe, jax.random.PRNGKey(0), SIZE)
 
-    def _bf16(tree):
-        return jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-            tree)
-
-    # frozen submodules need no fp32 masters: UNet/CLIP/SwinIR (and the VAE
-    # encoder side) never receive updates — halving their HBM footprint
-    for k in ("unet", "clip", "swinir"):
-        if k in params:
-            params[k] = _bf16(params[k])
-    params["vae"] = {k: (v if k == "decoder" else _bf16(v))
-                     for k, v in params["vae"].items()}
-
     detnet = None
     if WITH_DETNET:
         from edtr_tpu.models.faster_rcnn import fasterrcnn_mobilenet_v3_large_fpn
@@ -59,8 +46,12 @@ def main():
             {"params": jax.random.PRNGKey(7)},
             jnp.zeros((1, SIZE, SIZE, 3)))
         params["detnet"] = det_vars
-        params["teacher_detnet"] = _bf16(jax.tree.map(jnp.copy, det_vars))
+        params["teacher_detnet"] = jax.tree.map(jnp.copy, det_vars)
 
+    # frozen submodules need no fp32 masters (same policy as the runner)
+    from edtr_tpu.train.edtr_step import cast_frozen_bf16
+
+    params = cast_frozen_bf16(params, train_decoder=True)
     state = EDTRTrainState.create(pipe, params)
     step = make_edtr_train_step(pipe, detnet=detnet)
 
