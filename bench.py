@@ -89,7 +89,8 @@ def main() -> None:
             lq_in = jnp.clip(prev, 0, 1).astype(jnp.float32)
             restored = pipe.restore(p, lq_in, rng, c_txt=c_txt)["restored"]
             scores = detnet.apply(dv, restored)[0]["scores"]
-            return restored, scores
+            # recycle in bf16: the executable is compiled for a bf16 prev
+            return restored.astype(jnp.bfloat16), scores
 
         prev0 = lq.astype(jnp.bfloat16)
         try:
