@@ -103,13 +103,10 @@ class FeaturePyramidNetwork(nn.Module):
 
     ``use_norm`` adds BatchNorm after every conv (bias dropped), matching the
     v2 extractor's ``norm_layer=nn.BatchNorm2d`` (model/faster_rcnn.py:987;
-    Conv2dNormActivation with activation_layer=None). BN always applies
-    running stats here. For the MOBILENET variant that matches the reference
-    exactly (is_trained=True via weights_backbone -> FrozenBatchNorm). For
-    the r50v2 train recipes the reference's BN runs in train mode
-    (batch stats + running updates); running converted stats instead is a
-    documented deviation (STATUS.md "Known gaps") chosen for its stability
-    at the small per-chip batches TPU training uses.
+    Conv2dNormActivation with activation_layer=None). ``train=True`` runs the
+    BNs in torch train mode (batch stats + running-stat updates — the
+    reference's v2 recipes train with plain ``nn.BatchNorm2d``); the caller
+    must then make ``batch_stats`` mutable.
     """
 
     out_channels: int = 256
@@ -118,19 +115,23 @@ class FeaturePyramidNetwork(nn.Module):
     use_norm: bool = False
     dtype: Optional[Dtype] = None
 
-    def _bn(self, name):
-        return nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5,
-                            dtype=self.dtype, param_dtype=jnp.float32, name=name)
+    def _bn(self, name, train):
+        from edtr_tpu.models.layers import TorchBatchNorm
+
+        return TorchBatchNorm(use_running_average=not train, momentum=0.1,
+                              epsilon=1e-5, dtype=self.dtype, name=name)
 
     @nn.compact
-    def __call__(self, feats: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    def __call__(
+        self, feats: Sequence[jnp.ndarray], train: bool = False
+    ) -> List[jnp.ndarray]:
         inner = []
         for i, f in enumerate(feats):
             t = nn.Conv(self.out_channels, (1, 1), use_bias=not self.use_norm,
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"inner_{i}")(f)
             if self.use_norm:
-                t = self._bn(f"inner_bn_{i}")(t)
+                t = self._bn(f"inner_bn_{i}", train)(t)
             inner.append(t)
         # top-down pathway
         results = [None] * len(inner)
@@ -147,7 +148,7 @@ class FeaturePyramidNetwork(nn.Module):
                         use_bias=not self.use_norm, dtype=self.dtype,
                         param_dtype=jnp.float32, name=f"layer_{i}")(r)
             if self.use_norm:
-                t = self._bn(f"layer_bn_{i}")(t)
+                t = self._bn(f"layer_bn_{i}", train)(t)
             outs.append(t)
         if self.extra_maxpool:
             # torchvision LastLevelMaxPool is F.max_pool2d(kernel=1, stride=2):
@@ -245,8 +246,8 @@ class FastRCNNConvFCHead(nn.Module):
 
     Parity: ``FastRCNNConvFCHead`` (model/faster_rcnn.py:401-431) as built by
     ``fasterrcnn_resnet50_fpn_v2`` (:990-992) with norm_layer=nn.BatchNorm2d
-    (Conv2dNormActivation => conv bias=False, BN, ReLU). BN applies running
-    stats (converted from the checkpoint)."""
+    (Conv2dNormActivation => conv bias=False, BN, ReLU). ``train=True`` runs
+    torch train-mode BN (batch stats + running updates)."""
 
     representation_size: int = 1024
     conv_channels: int = 256
@@ -254,14 +255,16 @@ class FastRCNNConvFCHead(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from edtr_tpu.models.layers import TorchBatchNorm
+
         for i in range(self.num_convs):
             x = nn.Conv(self.conv_channels, (3, 3), padding=[(1, 1), (1, 1)],
                         use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"conv_{i}")(x)
-            x = nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5,
-                             dtype=self.dtype, param_dtype=jnp.float32,
-                             name=f"bn_{i}")(x)
+            x = TorchBatchNorm(use_running_average=not train, momentum=0.1,
+                               epsilon=1e-5, dtype=self.dtype,
+                               name=f"bn_{i}")(x)
             x = jax.nn.relu(x)
         x = x.reshape(x.shape[0], -1)
         x = jax.nn.relu(nn.Dense(self.representation_size, dtype=self.dtype,
@@ -391,6 +394,14 @@ class FasterRCNN(nn.Module):
     # behavior (chunked NMS keeps memory bounded). Set >0 to trade a little
     # tail accuracy for less NMS work.
     box_pre_nms_top_n: int = 0
+    # FrozenBatchNorm2d semantics: when True every BN uses running stats and
+    # never updates them, regardless of the call-time ``train`` flag. The
+    # mobilenet factory sets this True iff pretrained weights are named
+    # (torchvision: norm_layer = FrozenBatchNorm2d if is_trained else
+    # nn.BatchNorm2d, model/faster_rcnn.py:709). The v2 builder NEVER freezes
+    # norms (resnet50 default norm + norm_layer=nn.BatchNorm2d heads, :929,
+    # :987-992), so its factory sets this False.
+    norm_frozen: bool = False
     dtype: Optional[Dtype] = None
 
     @property
@@ -414,9 +425,16 @@ class FasterRCNN(nn.Module):
         targets: Optional[Dict[str, jnp.ndarray]] = None,
         manual_proposals: Optional[jnp.ndarray] = None,
         return_feat: bool = False,
-        train_backbone: bool = False,
+        train: bool = False,
     ):
+        """``train=True`` == torch ``model.train()`` for the norm layers: BNs
+        use batch stats and update running stats (caller passes
+        ``mutable=["batch_stats"]``), except under ``norm_frozen``. Loss
+        computation is keyed on ``targets is not None`` exactly like the
+        reference (``training_mode``, model/faster_rcnn.py:69-71), so losses
+        and train-mode norms are independently controllable."""
         cfg = self._backbone_cfg()
+        train_bn = train and not self.norm_frozen
         training_mode = targets is not None
         b, orig_h, orig_w, _ = images.shape
 
@@ -429,24 +447,24 @@ class FasterRCNN(nn.Module):
         # --- backbone + FPN ---------------------------------------------------
         if self.backbone_type == "mobilenet_v3_large_fpn":
             body = MobileNetV3(dtype=self.dtype, name="body")
-            feats_all = body(images_r, train=train_backbone, features=True)
+            feats_all = body(images_r, train=train_bn, features=True)
             si = body.stage_indices()
             c_feats = [feats_all[si[-2]], feats_all[si[-1]]]  # C4, C5
             fpn = FeaturePyramidNetwork(
                 out_channels=256, num_levels=2, extra_maxpool=True,
                 dtype=self.dtype, name="fpn",
             )
-            fpn_feats = fpn(c_feats)  # ['0', '1', 'pool']
+            fpn_feats = fpn(c_feats, train=train_bn)  # ['0', '1', 'pool']
             pool_levels = [0, 1]  # MultiScaleRoIAlign featmap_names ['0','1']
         else:
             backbone = ResNet(type=50, dtype=self.dtype, name="body")
             # capture C2..C5 via the 4 stage outputs
-            feats_all = _resnet_stages(backbone, images_r, train_backbone)
+            feats_all = _resnet_stages(backbone, images_r, train_bn)
             fpn = FeaturePyramidNetwork(
                 out_channels=256, num_levels=4, extra_maxpool=True,
                 use_norm=True, dtype=self.dtype, name="fpn",
             )
-            fpn_feats = fpn(feats_all)  # ['0','1','2','3','pool']
+            fpn_feats = fpn(feats_all, train=train_bn)  # ['0','1','2','3','pool']
             pool_levels = [0, 1, 2, 3]
 
         # FPN features stay in compute dtype (bf16 on TPU): RoIAlign gathers
@@ -621,11 +639,13 @@ class FasterRCNN(nn.Module):
         bp = pooled.shape[0] * pooled.shape[1]
         pooled_flat = pooled.reshape(bp, 7, 7, pooled.shape[-1])
 
+        pooled_in = pooled_flat.astype(self.dtype or pooled_flat.dtype)
         if cfg["box_head"] == "mlp":
-            head = TwoMLPHead(dtype=self.dtype, name="box_head")
+            rep = TwoMLPHead(dtype=self.dtype, name="box_head")(pooled_in)
         else:
-            head = FastRCNNConvFCHead(dtype=self.dtype, name="box_head")
-        rep = head(pooled_flat.astype(self.dtype or pooled_flat.dtype))
+            rep = FastRCNNConvFCHead(dtype=self.dtype, name="box_head")(
+                pooled_in, train=train_bn
+            )
         class_logits, box_deltas = FastRCNNPredictor(
             num_classes=self.num_classes, dtype=self.dtype, name="box_predictor"
         )(rep)
@@ -749,11 +769,16 @@ def fasterrcnn_mobilenet_v3_large_fpn(
 
     Extra FasterRCNN field overrides (min_size, rpn_* and box_* knobs) pass
     through, matching torchvision's ``**kwargs`` forwarding to the base class.
+    ``norm_frozen`` follows torchvision's ``is_trained`` rule (:708-710):
+    FrozenBatchNorm2d iff weights or weights_backbone are named (all shipped
+    EDTR configs name ``weights_backbone``), plain train-able BN otherwise.
     """
+    is_trained = weights is not None or weights_backbone is not None
     return FasterRCNN(
         num_classes=num_classes,
         backbone_type="mobilenet_v3_large_fpn",
         rpn_score_thresh=kwargs.pop("rpn_score_thresh", 0.05),
+        norm_frozen=kwargs.pop("norm_frozen", is_trained),
         dtype=dtype,
         **_frcnn_kwargs(kwargs),
     )
@@ -763,10 +788,17 @@ def fasterrcnn_resnet50_fpn_v2(
     weights=None, weights_backbone=None, num_classes: int = 91,
     dtype=None, **kwargs,
 ) -> FasterRCNN:
-    """Factory; parity ``model/faster_rcnn.py:939``."""
+    """Factory; parity ``model/faster_rcnn.py:939``.
+
+    The v2 builder never freezes norms — the backbone keeps resnet50's
+    default ``nn.BatchNorm2d`` (:987) and FPN/box head are built with
+    ``norm_layer=nn.BatchNorm2d`` (:988-992) — so train-mode calls update
+    batch statistics exactly like the reference's COCO real-world recipe.
+    """
     return FasterRCNN(
         num_classes=num_classes,
         backbone_type="resnet50_fpn_v2",
+        norm_frozen=kwargs.pop("norm_frozen", False),
         dtype=dtype,
         **_frcnn_kwargs(kwargs),
     )
@@ -787,8 +819,11 @@ def detnet_trainable_mask(
     In torch, frozen params simply never receive grads, so SGD (incl. its
     weight decay) leaves them untouched — pair this mask with
     ``optax.multi_transform({True: tx, False: optax.set_to_zero()})``.
-    BatchNorm parity needs no mask: the detnet is applied without mutable
-    ``batch_stats``, which is exactly FrozenBatchNorm semantics.
+    BatchNorm running stats need no mask: torchvision freezing only calls
+    ``requires_grad_(False)`` — in the v2 recipe (plain ``nn.BatchNorm2d``)
+    train mode still updates running stats in the frozen stages, which is
+    exactly what the mutable ``batch_stats`` pass reproduces; the mobilenet
+    recipe uses FrozenBatchNorm (``norm_frozen=True``) so nothing updates.
     """
     from .mobilenetv3 import MobileNetV3
 

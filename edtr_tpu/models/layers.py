@@ -107,6 +107,69 @@ class GroupNorm32(nn.Module):
         return y.astype(orig_dtype)
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with exact torch ``nn.BatchNorm2d`` train-mode semantics.
+
+    Differences from ``flax.linen.BatchNorm`` that matter for golden parity
+    with the reference detnets (``model/faster_rcnn.py:987-992`` builds FPN +
+    box head with plain ``nn.BatchNorm2d``; the resnet50 backbone at ``:929``
+    keeps torch's default norm):
+
+    * running-stat update uses the UNBIASED batch variance (torch applies
+      Bessel's n/(n-1) correction when writing ``running_var``) while
+      normalization uses the biased variance;
+    * ``momentum`` follows the torch convention (new = (1-m)*old + m*batch,
+      default 0.1);
+    * stats and the normalization arithmetic are fp32 regardless of the
+      compute dtype.
+
+    Variable layout matches ``nn.BatchNorm`` (``params/{scale,bias}``,
+    ``batch_stats/{mean,var}``) so the torchvision checkpoint converters are
+    unchanged. ``use_running_average=True`` reproduces eval mode (and is
+    numerically identical to the previous always-frozen behavior).
+    """
+
+    use_running_average: bool = True
+    momentum: float = 0.1  # torch convention
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = self.dtype or x.dtype
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if self.use_running_average:
+            mean = ra_mean.value.astype(jnp.float32)
+            var = ra_var.value.astype(jnp.float32)
+        else:
+            axes = tuple(range(x.ndim - 1))
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
+            mean = jnp.mean(x.astype(jnp.float32), axis=axes)
+            var = jnp.mean(
+                jnp.square(x.astype(jnp.float32) - mean.reshape((1,) * len(axes) + (c,))),
+                axis=axes,
+            )
+            if not self.is_initializing():
+                m = self.momentum
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1 - m) * ra_mean.value.astype(jnp.float32) + m * mean
+                ra_var.value = (1 - m) * ra_var.value.astype(jnp.float32) + m * unbiased
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+        y = (x.astype(jnp.float32) - mean) * inv + bias.astype(jnp.float32)
+        return y.astype(orig_dtype)
+
+
 class LayerNorm(nn.Module):
     """LayerNorm in fp32 (torch nn.LayerNorm semantics, eps=1e-5)."""
 

@@ -82,9 +82,12 @@ def mobilenet_v3_large_conf(
 
 
 def _bn(name: str, train: bool):
-    return nn.BatchNorm(
-        use_running_average=not train, momentum=0.99, epsilon=1e-3,
-        dtype=jnp.float32, param_dtype=jnp.float32, name=name,
+    # torchvision mobilenet_v3 norm: BatchNorm2d(eps=1e-3, momentum=0.01)
+    from edtr_tpu.models.layers import TorchBatchNorm
+
+    return TorchBatchNorm(
+        use_running_average=not train, momentum=0.01, epsilon=1e-3,
+        dtype=jnp.float32, name=name,
     )
 
 

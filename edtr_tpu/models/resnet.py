@@ -44,12 +44,15 @@ def normalize_imagenet(x: jnp.ndarray, inv: bool = False) -> jnp.ndarray:
 
 
 def _bn(name: str, train: bool):
-    return nn.BatchNorm(
+    # torch nn.BatchNorm2d defaults (eps 1e-5, torch momentum 0.1) with exact
+    # train-mode semantics incl. the unbiased running-var update
+    from edtr_tpu.models.layers import TorchBatchNorm
+
+    return TorchBatchNorm(
         use_running_average=not train,
-        momentum=0.9,
+        momentum=0.1,
         epsilon=1e-5,
         dtype=jnp.float32,
-        param_dtype=jnp.float32,
         name=name,
     )
 

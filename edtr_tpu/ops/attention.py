@@ -7,9 +7,11 @@ semantic op with two interchangeable backends:
 
 * ``xla``   — einsum with fp32 logit accumulation; XLA fuses this well and it
               is the numerics oracle;
-* ``flash`` — a Pallas blockwise-softmax kernel (see
-              ``edtr_tpu.ops.flash_attention``) for the hot UNet sequence
-              lengths (4096/1024/256, head_dim 64) — used when shapes qualify.
+* ``flash`` — Pallas kernels (see ``edtr_tpu.ops.flash_attention``): a
+              blockwise online-softmax kernel for seq >= 2048 and a
+              whole-sequence VMEM kernel for 512..1024 — engaged when shapes
+              qualify (self-attention, head_dim <= 128); per-level
+              measurements in tools/bench_attention.py.
 
 Layout: ``(batch, seq, heads, head_dim)`` throughout (TPU-friendly: the last
 dim stays the 128-lane axis after head folding).

@@ -1,10 +1,18 @@
-"""Blockwise (flash) attention forward AND backward in Pallas for TPU.
+"""Blockwise (flash) + whole-sequence attention in Pallas for TPU.
 
 The hot UNet/ControlNet attention shapes at 512² EDTR (SURVEY.md §7 step 5)
 are self-attention with seq 4096/1024/256 and head_dim 64, plus 77-token
-cross-attention. The XLA path materializes (N, N) logits per head in HBM;
-these kernels stream KV blocks through VMEM with an online softmax, so HBM
-traffic drops from O(N²) to O(N·D) — the standard flash-attention recipe.
+cross-attention. The XLA path materializes (N, N) logits per head in HBM.
+Two Pallas regimes replace it (dispatch in :func:`shapes_supported` /
+``WHOLE_SEQ_MAX``, measured by tools/bench_attention.py):
+
+* **N >= 2048** — classic flash: KV blocks stream through VMEM with an
+  online softmax; HBM traffic drops from O(N²) to O(N·D).
+* **512 <= N <= 1024** — whole-sequence VMEM kernel: S = QKᵀ (≤4 MB fp32)
+  lives entirely in VMEM, one grid row per (batch, head); plain softmax, no
+  online bookkeeping, zero logits HBM traffic. This is the UNet's ds=2
+  level (seq 1024, 10 heads), where XLA's fused attention was
+  bandwidth-bound on the logits round-trip.
 
 Backward is the flash recipe too (not XLA recompute): the forward saves the
 per-query logsumexp L; the VJP computes D = rowsum(dO·O) with XLA, then two
@@ -29,22 +37,29 @@ Q_BLOCK = 512
 KV_BLOCK = 512
 NEG_INF = -1e30
 
+# below this length a WHOLE-SEQUENCE VMEM kernel replaces the blockwise one:
+# S (N², fp32) fits in VMEM (1024² = 4 MB), so one grid row per (b,h)
+# computes softmax(QKᵀ)V with ZERO logits HBM traffic and no online-softmax
+# bookkeeping. XLA's attention at these sizes round-trips the N² logits
+# through HBM (~16 MB/head @1024), which made it bandwidth-bound; the UNet's
+# 1024-token level (ds=2) is exactly here (VERDICT r2 weak #7).
+WHOLE_SEQ_MAX = 1024
+# measured floor (tools/bench_attention.py): at 256 tokens the logits are
+# tiny and XLA's fusion wins on dispatch overhead
+MIN_SEQ = 512
+
 
 def shapes_supported(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> bool:
-    """(B, N, H, D) with N_q divisible by Q_BLOCK, N_kv by KV_BLOCK, D<=128."""
+    """(B, N, H, D) self-attention shapes the Pallas kernels accept."""
     if q.ndim != 4 or k.shape != v.shape:
         return False
     b, nq, h, d = q.shape
     nk = k.shape[1]
-    # measured on v5e: flash wins at long seq (1.9x @4096); XLA's fused
-    # attention is faster below ~2k where the O(N^2) HBM traffic is small
-    return (
-        d <= 128
-        and nq % Q_BLOCK == 0
-        and nk % KV_BLOCK == 0
-        and nq >= 2048
-        and nk >= 2048
-    )
+    if d > 128 or nq != nk:
+        return False
+    if nq >= 2048:
+        return nq % Q_BLOCK == 0 and nk % KV_BLOCK == 0
+    return nq >= MIN_SEQ and nq % 128 == 0
 
 
 def _interpret() -> bool:
@@ -111,6 +126,79 @@ def _flash_fwd_flat(qf, kf, vf, scale: float):
         ],
         interpret=_interpret(),
     )(qf, kf, vf)
+
+
+# =============================================================================
+# whole-sequence VMEM kernels (N <= WHOLE_SEQ_MAX)
+# =============================================================================
+
+def _whole_fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32) * scale          # (N, D)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (N, N) in VMEM
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = (jnp.dot(p, v, preferred_element_type=jnp.float32) / l).astype(
+        o_ref.dtype)
+    l_ref[0] = m + jnp.log(l)
+
+
+def _whole_bwd_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref,
+                      dq_ref, dk_ref, dv_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = l_ref[0]
+    dd = dd_ref[0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse)                               # (N, N)
+    dv_ref[0] = jnp.dot(p.T, do, preferred_element_type=jnp.float32).astype(
+        dv_ref.dtype)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - dd)
+    dq_ref[0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                 * scale).astype(dq_ref.dtype)
+    # q already carries scale, so dsᵀ q == scale * dsᵀ q_raw
+    dk_ref[0] = jnp.dot(ds.T, q, preferred_element_type=jnp.float32).astype(
+        dk_ref.dtype)
+
+
+def _whole_fwd_flat(qf, kf, vf, scale: float):
+    bh, n, d = qf.shape
+    spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_whole_fwd_kernel, scale=scale),
+        grid=(bh,),
+        in_specs=[spec, spec, spec],
+        out_specs=[spec, lspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n, d), vf.dtype),
+            jax.ShapeDtypeStruct((bh, n, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(qf, kf, vf)
+
+
+def _whole_bwd_flat(qf, kf, vf, dof, lse, dd, scale: float):
+    bh, n, d = qf.shape
+    spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_whole_bwd_kernel, scale=scale),
+        grid=(bh,),
+        in_specs=[spec, spec, spec, spec, lspec, lspec],
+        out_specs=[spec, spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n, d), qf.dtype),
+            jax.ShapeDtypeStruct((bh, n, d), kf.dtype),
+            jax.ShapeDtypeStruct((bh, n, d), vf.dtype),
+        ],
+        interpret=_interpret(),
+    )(qf, kf, vf, dof, lse, dd)
 
 
 # =============================================================================
@@ -240,16 +328,27 @@ def _from_flat(xf, b, h):
     return xf.reshape(b, h, n, d).transpose(0, 2, 1, 3)
 
 
+def _whole(n: int) -> bool:
+    return n <= WHOLE_SEQ_MAX
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q, k, v, scale: float):
-    out, _ = _flash_fwd_flat(_to_flat(q), _to_flat(k), _to_flat(v), scale)
+    qf, kf, vf = _to_flat(q), _to_flat(k), _to_flat(v)
+    if _whole(q.shape[1]):
+        out, _ = _whole_fwd_flat(qf, kf, vf, scale)
+    else:
+        out, _ = _flash_fwd_flat(qf, kf, vf, scale)
     return _from_flat(out, q.shape[0], q.shape[2])
 
 
 def _fwd(q, k, v, scale):
     b, h = q.shape[0], q.shape[2]
     qf, kf, vf = _to_flat(q), _to_flat(k), _to_flat(v)
-    of, lse = _flash_fwd_flat(qf, kf, vf, scale)
+    if _whole(q.shape[1]):
+        of, lse = _whole_fwd_flat(qf, kf, vf, scale)
+    else:
+        of, lse = _flash_fwd_flat(qf, kf, vf, scale)
     return _from_flat(of, b, h), (qf, kf, vf, of, lse, b, h)
 
 
@@ -259,7 +358,10 @@ def _bwd(scale, residuals, g):
     # D_i = sum_d dO_i O_i — the softmax-jacobian row correction
     dd = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32),
                  axis=-1, keepdims=True)  # (bh, nq, 1)
-    dqf, dkf, dvf = _flash_bwd_flat(qf, kf, vf, dof, lse, dd, scale)
+    if _whole(qf.shape[1]):
+        dqf, dkf, dvf = _whole_bwd_flat(qf, kf, vf, dof, lse, dd, scale)
+    else:
+        dqf, dkf, dvf = _flash_bwd_flat(qf, kf, vf, dof, lse, dd, scale)
     return (_from_flat(dqf, b, h), _from_flat(dkf, b, h), _from_flat(dvf, b, h))
 
 

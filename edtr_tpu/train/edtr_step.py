@@ -170,12 +170,26 @@ def make_edtr_train_step(
     weight_fm: float = 0.2,
     hlf_loss_fn: Optional[Callable] = None,
     jit: bool = True,
+    accum_steps: int = 1,
 ):
     """Build the jitted two-half EDTR update.
 
     ``detnet``: the FasterRCNN module (shared by student/teacher — their
     params differ). ``batch`` must carry lq/gt (B,H,W,3), c_txt, and padded
     ``targets`` {boxes, labels, valid} when detnet is given.
+
+    ``accum_steps=K`` runs the reference's GLOBAL batch semantics on fewer
+    chips: the incoming batch (the full global batch, e.g. 16 for the VOC
+    flagship ``configs/det/voc2012/train/007_edtr-s4.yaml:159-161``) is
+    split into K microbatches; each half accumulates mean-of-means grads
+    over a ``lax.scan`` and applies ONE optimizer update — numerically the
+    reference's DDP all-reduced gradient at global bs (equal microbatches).
+    Shared no-grad activations (pre_res/z_pre) are computed once per
+    microbatch and reused by both halves, mirroring the reference's reuse
+    across its two sub-updates (main/det/train_edtr.py:177-218; valid
+    because SwinIR + VAE encoder are frozen). Detnet BatchNorm running
+    stats update sequentially per microbatch (same K-updates-per-step
+    semantics as torch's per-forward updates).
     """
     diffusion = pipe.diffusion
     used_ts = jnp.asarray(pipe.used_timesteps, jnp.int32)
@@ -227,51 +241,147 @@ def make_edtr_train_step(
         images = jnp.concatenate([res, gt[bs2:]], axis=0)
         targets = batch["targets"]
         det_extra = {k: v for k, v in params["detnet"].items() if k != "params"}
-        _, losses, feats = detnet.apply(
-            {"params": det_params, **det_extra}, images, targets=targets,
-            rngs={"sampler": rng_smp},
-        )
+        if det_extra:
+            # torch model.train() parity: BNs use batch stats and update the
+            # running stats (reference v2 recipe trains with plain
+            # nn.BatchNorm2d, model/faster_rcnn.py:987-992; the mobilenet
+            # variant's norm_frozen keeps FrozenBN semantics regardless)
+            (_, losses, feats), new_extra = detnet.apply(
+                {"params": det_params, **det_extra}, images, targets=targets,
+                train=True, mutable=list(det_extra.keys()),
+                rngs={"sampler": rng_smp},
+            )
+            new_extra = dict(new_extra)
+        else:
+            _, losses, feats = detnet.apply(
+                {"params": det_params}, images, targets=targets,
+                rngs={"sampler": rng_smp},
+            )
+            new_extra = {}
         loss_det = weight_det * sum(losses.values())
         tf_gt = jax.lax.stop_gradient(det_feats(params["teacher_detnet"], gt))
         loss_fm = weight_fm * _feat_l1(feats["features"], tf_gt, ("0", "1"))
-        return loss_det + loss_fm, dict(loss_det=loss_det, loss_fm=loss_fm, **losses)
+        metrics = dict(loss_det=loss_det, loss_fm=loss_fm, **losses)
+        return loss_det + loss_fm, (metrics, new_extra)
+
+    def _shared_for(params, mb):
+        pre_res = jax.lax.stop_gradient(pipe.pre_restore(params, mb["lq"]))
+        z_pre = jax.lax.stop_gradient(
+            pipe.cldm.vae_encode(params, pre_res * 2 - 1, sample=False)
+        )
+        cond = dict(c_txt=mb["c_txt"], c_img=z_pre)
+        return (mb["gt"], pre_res, z_pre, cond)
 
     def step_fn(state: EDTRTrainState, batch, rng):
         r_shared, r_edtr, r_det = jax.random.split(rng, 3)
         params = state.params
-        lq, gt = batch["lq"], batch["gt"]
-        pre_res = jax.lax.stop_gradient(pipe.pre_restore(params, lq))
-        z_pre = jax.lax.stop_gradient(
-            pipe.cldm.vae_encode(params, pre_res * 2 - 1, sample=False)
-        )
-        c_txt = batch["c_txt"]
-        cond = dict(c_txt=c_txt, c_img=z_pre)
-        shared = (gt, pre_res, z_pre, cond)
 
+        if accum_steps == 1:
+            shared = _shared_for(params, batch)
+
+            trainable, frozen = split_trainable(params, state.train_decoder)
+            (loss_e, m_e), grads = jax.value_and_grad(edtr_loss, has_aux=True)(
+                trainable, frozen, batch, shared, r_edtr
+            )
+            updates, new_opt_e = state.tx_edtr.update(
+                grads, state.opt_edtr_state, trainable)
+            new_trainable = optax.apply_updates(trainable, updates)
+            params = merge_params(new_trainable, frozen)
+            metrics = dict(m_e)
+
+            new_opt_d = state.opt_detnet_state
+            if detnet is not None:
+                det_params = params["detnet"]["params"]
+                (loss_d, (m_d, new_extra)), dgrads = jax.value_and_grad(
+                    detnet_loss, has_aux=True
+                )(det_params, params, batch, shared, r_det)
+                dupdates, new_opt_d = state.tx_detnet.update(
+                    dgrads, state.opt_detnet_state, det_params
+                )
+                params = dict(params)
+                params["detnet"] = {
+                    **params["detnet"],
+                    "params": optax.apply_updates(det_params, dupdates),
+                    **new_extra,  # updated BatchNorm running stats
+                }
+                metrics.update(m_d)
+
+            return (
+                state.replace(
+                    params=params,
+                    opt_edtr_state=new_opt_e,
+                    opt_detnet_state=new_opt_d,
+                    step=state.step + 1,
+                ),
+                metrics,
+            )
+
+        # ----- gradient accumulation: global-batch semantics on one chip ----
+        def to_micro(x):
+            return x.reshape((accum_steps, x.shape[0] // accum_steps)
+                             + x.shape[1:])
+
+        micro = jax.tree.map(to_micro, batch)
         trainable, frozen = split_trainable(params, state.train_decoder)
-        (loss_e, m_e), grads = jax.value_and_grad(edtr_loss, has_aux=True)(
-            trainable, frozen, batch, shared, r_edtr
-        )
-        updates, new_opt_e = state.tx_edtr.update(grads, state.opt_edtr_state, trainable)
-        new_trainable = optax.apply_updates(trainable, updates)
-        params = merge_params(new_trainable, frozen)
-        metrics = dict(m_e)
+
+        # precompute the shared no-grad activations once per microbatch;
+        # both halves reuse them (SwinIR/encoder are frozen, so the EDTR
+        # update between the halves cannot invalidate them)
+        def shared_scan(_, mb):
+            return None, _shared_for(params, mb)
+
+        _, shared_stack = jax.lax.scan(shared_scan, None, micro)
+
+        def edtr_acc(carry, inp):
+            g_acc, key = carry
+            mb, sh = inp
+            key, sub = jax.random.split(key)
+            (_, m), g = jax.value_and_grad(edtr_loss, has_aux=True)(
+                trainable, frozen, mb, sh, sub
+            )
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            return (g_acc, key), m
+
+        zeros = jax.tree.map(jnp.zeros_like, trainable)
+        (g_sum, _), m_e = jax.lax.scan(
+            edtr_acc, (zeros, r_edtr), (micro, shared_stack))
+        grads = jax.tree.map(lambda g: g / accum_steps, g_sum)
+        updates, new_opt_e = state.tx_edtr.update(
+            grads, state.opt_edtr_state, trainable)
+        params = merge_params(optax.apply_updates(trainable, updates), frozen)
+        metrics = {k: v.mean() for k, v in m_e.items()}
 
         new_opt_d = state.opt_detnet_state
         if detnet is not None:
             det_params = params["detnet"]["params"]
-            (loss_d, m_d), dgrads = jax.value_and_grad(detnet_loss, has_aux=True)(
-                det_params, params, batch, shared, r_det
-            )
+
+            def det_acc(carry, inp):
+                g_acc, extra, key = carry
+                mb, sh = inp
+                key, sub = jax.random.split(key)
+                p = dict(params)
+                p["detnet"] = {**params["detnet"], **extra}
+                (_, (m, new_extra)), g = jax.value_and_grad(
+                    detnet_loss, has_aux=True
+                )(det_params, p, mb, sh, sub)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                return (g_acc, new_extra or extra, key), m
+
+            extra0 = {k: v for k, v in params["detnet"].items()
+                      if k != "params"}
+            dzeros = jax.tree.map(jnp.zeros_like, det_params)
+            (dg_sum, new_extra, _), m_d = jax.lax.scan(
+                det_acc, (dzeros, extra0, r_det), (micro, shared_stack))
+            dgrads = jax.tree.map(lambda g: g / accum_steps, dg_sum)
             dupdates, new_opt_d = state.tx_detnet.update(
-                dgrads, state.opt_detnet_state, det_params
-            )
+                dgrads, state.opt_detnet_state, det_params)
             params = dict(params)
             params["detnet"] = {
                 **params["detnet"],
                 "params": optax.apply_updates(det_params, dupdates),
+                **new_extra,
             }
-            metrics.update(m_d)
+            metrics.update({k: v.mean() for k, v in m_d.items()})
 
         return (
             state.replace(

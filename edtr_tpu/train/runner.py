@@ -157,11 +157,18 @@ def edtr_train(cfg_path: str, debug: bool = False, seed: Optional[int] = None):
     elif n_dev > 1:
         logger(f"batch size {train_cfg.get('batch_size', 16)} not divisible "
                f"by {n_dev} devices; running unsharded")
+    # reference-batch semantics on few chips: train.accum_steps splits the
+    # global batch into microbatches inside the compiled step (the VOC
+    # flagship's global bs 16 runs on ONE v5e with accum_steps=8)
+    accum_steps = int(train_cfg.get("accum_steps", 1))
+    if accum_steps > 1:
+        logger(f"gradient accumulation: {accum_steps} microbatches/step")
     step_fn = make_edtr_train_step(
         pipe, detnet=detnet, mesh=mesh,
         weight_hlf=train_cfg.get("weight_hlf", 0.5),
         weight_det=train_cfg.get("weight_det", 1.0),
         weight_fm=train_cfg.get("weight_fm", 0.2),
+        accum_steps=accum_steps,
     )
     sample_fn = make_edtr_sample_fn(pipe)
 
@@ -222,6 +229,12 @@ def edtr_train(cfg_path: str, debug: bool = False, seed: Optional[int] = None):
                 c_txt=jnp.tile(c_txt_one, (bs, 1, 1)),
                 targets={k: jnp.asarray(v) for k, v in targets.items()},
             )
+            if mesh is not None and jax.process_count() > 1:
+                # multi-process: each host contributes its loader shard; the
+                # global sharded array spans all processes' devices
+                from edtr_tpu.parallel.distributed import shard_host_batch
+
+                dev_batch = shard_host_batch(dev_batch, mesh)
             key, sub = jax.random.split(key)
             state, metrics = step_fn(state, dev_batch, sub)
             global_step += 1
@@ -319,6 +332,14 @@ def _task_apply_for(task: str, net):
     if task == "det":
         def loss_fn(p, extra, images, targets, rng):
             variables = {"params": p, **(extra or {})}
+            if extra:
+                # torch train() parity: BN batch stats + running updates
+                # (norm_frozen variants leave the stats untouched)
+                (_, losses, _), new_extra = net.apply(
+                    variables, images, targets=targets, train=True,
+                    mutable=list(extra.keys()), rngs={"sampler": rng},
+                )
+                return sum(losses.values()), (losses, dict(new_extra))
             _, losses, _ = net.apply(
                 variables, images, targets=targets, rngs={"sampler": rng}
             )

@@ -81,7 +81,7 @@ class CocoEvaluator:
 
         if jax.process_count() == 1:
             return
-        from jax.experimental import multihost_utils  # pragma: no cover
+        from jax.experimental import multihost_utils
 
         # blobs are ragged across processes: gather sizes, pad, gather, trim
         blob = np.frombuffer(_pickle(self.dt), dtype=np.uint8)

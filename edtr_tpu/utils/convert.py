@@ -31,7 +31,10 @@ def torch_state_dict_to_numpy(sd) -> Dict[str, np.ndarray]:
     out = {}
     for k, v in sd.items():
         try:
-            out[k] = v.detach().cpu().float().numpy()
+            # explicit copy: .numpy() VIEWS the torch storage, so a live
+            # module would keep mutating the "converted" arrays (e.g. BN
+            # running stats during a train-mode forward)
+            out[k] = np.array(v.detach().cpu().float().numpy())
         except AttributeError:
             out[k] = np.asarray(v)
     return out

@@ -128,7 +128,16 @@ def prepare_environment(cfg, cfg_path: Optional[str] = None, seed: Optional[int]
     clones in utils/classification.py:7-42, utils/segmentation.py:8-48 —
     centralized here).
     Returns (exp_dir, ckpt_dir, img_dir, logger, writer).
+
+    Multi-process launches (the reference's ``accelerate launch``,
+    script.sh:26,42) connect to the JAX coordinator here, BEFORE any device
+    use, so every entry point becomes multi-process-capable through its
+    normal setup path (env-gated: EDTR_COORDINATOR/EDTR_NUM_PROCESSES/
+    EDTR_PROCESS_ID or the standard JAX_* equivalents).
     """
+    from edtr_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     train_cfg = cfg.get("train", cfg)
     exp_dir = train_cfg.get("exp_dir", "experiments/run")
     ckpt_dir = os.path.join(exp_dir, "checkpoints")

@@ -13,11 +13,14 @@ TPU re-design of three subsystems:
 * :func:`tiled_vae_encode` / :func:`tiled_vae_decode` — tiled VAE. The
   reference synchronizes GroupNorm statistics across tiles with a task-queue
   that pauses every tile at each norm (``utils/tilevae/tilevae.py:232-278``).
-  On TPU we run overlapping padded tiles with Gaussian blending — XLA-friendly
+  On TPU, :func:`_gn_synced_tiles` reproduces that *global* GroupNorm sync as
+  an on-device two-pass fixed point: pass 1 runs every tile and sows per-norm
+  (count, sum, sumsq) via the ``gn_stats`` collection, the pixel-weighted
+  global moments are aggregated across tiles, and pass 2 re-runs each tile
+  with the aggregated moments injected through ``gn_moments`` — XLA-friendly
   (static shapes, no host round-trips). Halo padding (32 px encode / 11 px
   decode margins like VAEHook, ``utils/tilevae/tilevae.py:315``) bounds the
-  receptive-field error; blended GroupNorm stats stay local per tile, matching
-  VAEHook's fast-mode semantics.
+  remaining receptive-field error at tile seams.
 """
 
 from __future__ import annotations

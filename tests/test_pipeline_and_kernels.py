@@ -10,15 +10,19 @@ import jax
 import jax.numpy as jnp
 
 
-def test_flash_attention_matches_xla_interpret():
+@pytest.mark.parametrize("seq", [512, 1024, 2048])
+def test_flash_attention_matches_xla_interpret(seq):
+    # 512/1024 exercise the whole-sequence VMEM kernel, 2048 the blockwise
+    # online-softmax kernel
     from edtr_tpu.ops.attention import _xla_attention
-    from edtr_tpu.ops.flash_attention import flash_attention
+    from edtr_tpu.ops.flash_attention import flash_attention, shapes_supported
 
     g = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(g, 3)
-    q = jax.random.normal(k1, (1, 2048, 2, 64), jnp.float32)
-    k = jax.random.normal(k2, (1, 2048, 2, 64), jnp.float32)
-    v = jax.random.normal(k3, (1, 2048, 2, 64), jnp.float32)
+    q = jax.random.normal(k1, (1, seq, 2, 64), jnp.float32)
+    k = jax.random.normal(k2, (1, seq, 2, 64), jnp.float32)
+    v = jax.random.normal(k3, (1, seq, 2, 64), jnp.float32)
+    assert shapes_supported(q, k, v)
     scale = 64 ** -0.5
     o_flash = flash_attention(q, k, v, scale)
     o_xla = _xla_attention(q, k, v, scale)
@@ -27,15 +31,16 @@ def test_flash_attention_matches_xla_interpret():
     )
 
 
-def test_flash_attention_gradients():
+@pytest.mark.parametrize("seq", [1024, 2048])
+def test_flash_attention_gradients(seq):
     from edtr_tpu.ops.attention import _xla_attention
     from edtr_tpu.ops.flash_attention import flash_attention
 
     g = jax.random.PRNGKey(1)
     k1, k2, k3 = jax.random.split(g, 3)
-    q = jax.random.normal(k1, (1, 2048, 1, 64), jnp.float32)
-    k = jax.random.normal(k2, (1, 2048, 1, 64), jnp.float32)
-    v = jax.random.normal(k3, (1, 2048, 1, 64), jnp.float32)
+    q = jax.random.normal(k1, (1, seq, 1, 64), jnp.float32)
+    k = jax.random.normal(k2, (1, seq, 1, 64), jnp.float32)
+    v = jax.random.normal(k3, (1, seq, 1, 64), jnp.float32)
     scale = 64 ** -0.5
 
     def loss(fn, q_, k_, v_):
@@ -251,3 +256,78 @@ def test_edtr_train_step_with_detnet(tiny_setup):
         det_ref, new_state.params["detnet"]["params"],
     )
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_edtr_train_step_grad_accumulation(tiny_setup):
+    """accum_steps=K: reference global-batch semantics on one device.
+
+    One global batch of 4 runs as 2 microbatches of 2 under a lax.scan;
+    asserts the full two-half update completes, detnet params AND BatchNorm
+    running stats move (sequential per-microbatch updates, torch parity),
+    ControlNet moves, UNet stays frozen, and the compiled step is
+    deterministic (bit-identical params on a re-run from the same state).
+    """
+    from edtr_tpu.models.faster_rcnn import FasterRCNN
+    from edtr_tpu.train.edtr_step import EDTRTrainState, make_edtr_train_step
+
+    pipe, params0 = tiny_setup
+
+    def fresh_params():
+        params = jax.tree.map(jnp.copy, params0)
+        params["unet"]["out_conv"]["kernel"] = (
+            jax.random.normal(jax.random.PRNGKey(9),
+                              params["unet"]["out_conv"]["kernel"].shape) * 0.05
+        )
+        detnet = FasterRCNN(
+            num_classes=5, min_size=64, max_size=128,
+            rpn_pre_nms_top_n_train=50, rpn_post_nms_top_n_train=30,
+            rpn_pre_nms_top_n_test=50, rpn_post_nms_top_n_test=30,
+            box_batch_size_per_image=16, box_detections_per_img=5,
+        )
+        det_vars = jax.jit(detnet.init)(
+            {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 64, 64, 3))
+        )
+        params["detnet"] = det_vars
+        params["teacher_detnet"] = jax.tree.map(jnp.copy, det_vars)
+        return detnet, params
+
+    detnet, params = fresh_params()
+    assert not detnet.norm_frozen  # direct ctor => plain BN, train-mode stats
+    det_ref = jax.tree.map(jnp.copy, params["detnet"]["params"])
+    bn_ref = jax.tree.map(jnp.copy, params["detnet"]["batch_stats"])
+    cn_ref = jax.tree.map(jnp.copy, params["controlnet"])
+    un_ref = jax.tree.map(jnp.copy, params["unet"])
+
+    batch = dict(
+        lq=jax.random.uniform(jax.random.PRNGKey(11), (4, 64, 64, 3)),
+        gt=jax.random.uniform(jax.random.PRNGKey(12), (4, 64, 64, 3)),
+        c_txt=jnp.zeros((4, pipe.cldm.clip.context_length, pipe.cldm.clip.width)),
+        targets=dict(
+            boxes=jnp.asarray([[[5, 5, 30, 30]]] * 4, jnp.float32),
+            labels=jnp.asarray([[1]] * 4, jnp.int32),
+            valid=jnp.ones((4, 1), bool),
+        ),
+    )
+    step = make_edtr_train_step(pipe, detnet=detnet, accum_steps=2)
+    state = EDTRTrainState.create(pipe, params)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(4))
+    for k in ("loss_hlf", "loss_det", "loss_fm"):
+        assert k in metrics and np.isfinite(float(metrics[k])), (k, metrics)
+
+    def max_delta(a, b):
+        return max(jax.tree.leaves(jax.tree.map(
+            lambda x, y: float(jnp.abs(x - y).max()), a, b)))
+
+    assert max_delta(det_ref, new_state.params["detnet"]["params"]) > 0
+    assert max_delta(bn_ref, new_state.params["detnet"]["batch_stats"]) > 0
+    assert max_delta(cn_ref, new_state.params["controlnet"]) > 0
+    assert max_delta(un_ref, new_state.params["unet"]) == 0
+
+    # determinism: a fresh state + the same rng reproduces bit-identical params
+    detnet2, params2 = fresh_params()
+    state2 = EDTRTrainState.create(pipe, params2)
+    new_state2, _ = step(state2, batch, jax.random.PRNGKey(4))
+    assert max_delta(new_state.params["controlnet"],
+                     new_state2.params["controlnet"]) == 0
+    assert max_delta(new_state.params["detnet"]["params"],
+                     new_state2.params["detnet"]["params"]) == 0
