@@ -27,7 +27,12 @@ is localizable from the artifact alone.
 Env knobs: EDTR_BENCH_BATCH (8), EDTR_BENCH_ITERS (10),
 EDTR_BENCH_DETNET=0 to drop the detector, EDTR_BENCH_STAGES=0 to skip the
 per-stage pass, EDTR_BENCH_FUSED=1 to fuse restore+detect into one
-executable (measured slower in r2; kept as a knob).
+executable (measured slower in r2; kept as a knob), EDTR_BENCH_SPLIT to
+control the stage-wise executable pipeline (default on: swinir | encode |
+denoise-scan | decode+wavelet | detect as five executables — dispatch RTT
+is ~0.01 ms while the monolithic executable measured ~14 ms/img slower
+than its stage sum, an XLA buffer-pressure effect; =0 forces the single
+restore executable).
 """
 
 import json
@@ -42,6 +47,7 @@ ITERS = int(os.environ.get("EDTR_BENCH_ITERS", "10"))
 WITH_DETNET = os.environ.get("EDTR_BENCH_DETNET", "1") == "1"
 WITH_STAGES = os.environ.get("EDTR_BENCH_STAGES", "1") == "1"
 FUSED = os.environ.get("EDTR_BENCH_FUSED", "0") == "1"
+SPLIT = os.environ.get("EDTR_BENCH_SPLIT", "1") == "1"
 
 
 def _flops(compiled):
@@ -129,6 +135,12 @@ def main() -> None:
     enable_compilation_cache()
 
     import jax
+
+    # the axon sitecustomize force-registers the TPU ahead of JAX_PLATFORMS;
+    # honor an explicit JAX_PLATFORMS=cpu (CI / sanity runs) anyway
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     import __graft_entry__ as G
@@ -196,6 +208,10 @@ def main() -> None:
             print(f"# fused graph fell back: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
 
+    if SPLIT:
+        _run_split(pipe, params, detnet, det_vars, prev0, c_txt, rng)
+        return
+
     # two executables (restore | detect): a single fused graph's buffer
     # assignment exceeds HBM headroom (restore holds scan state while the
     # detector's buffers are live); sequential executables share the chip
@@ -240,6 +256,123 @@ def main() -> None:
 
     stages = (_stage_breakdown(pipe, params, detnet, det_vars, lq, c_txt, rng)
               if WITH_STAGES and not tiny else None)
+    _report(dt, total_flops, detnet, image_size, stages)
+
+
+def _run_split(pipe, params, detnet, det_vars, prev0, c_txt, rng):
+    """Stage-wise executable pipeline: the e2e loop dispatches five AOT
+    executables per iteration (dispatch RTT measured ~0.01 ms on the
+    tunnel). Avoids the monolithic executable's buffer-pressure slowdown
+    while still timing the FULL pipeline as a serial dependency chain.
+
+    Also serves as the per-stage breakdown: each stage is timed with the
+    same executables used in the loop (no separate stage compiles).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from edtr_tpu.diffusion.sampler import sample_scan
+    from edtr_tpu.utils.image import wavelet_reconstruction
+
+    image_size = prev0.shape[1]
+
+    def stage_swinir(p, prev):
+        lq_in = jnp.clip(prev, 0, 1).astype(jnp.float32)
+        return pipe.pre_restore(p, lq_in)
+
+    def stage_encode(p, pre):
+        return pipe.cldm.vae_encode(p, pre * 2 - 1, sample=False)
+
+    def stage_denoise(p, z_pre, key):
+        cond = dict(c_txt=c_txt, c_img=z_pre)
+        k1, k2 = jax.random.split(key)
+        noise = jax.random.normal(k1, z_pre.shape, z_pre.dtype)
+        t = jnp.full((z_pre.shape[0],), pipe.start_timestep, jnp.int32)
+        z_T = pipe.diffusion.q_sample(z_pre, t, noise)
+        return sample_scan(pipe.cldm.model_fn(p), pipe.schedule, z_T, cond, k2)
+
+    def stage_decode(p, z, pre):
+        decoded = (pipe.cldm.vae_decode(p, z) + 1) / 2
+        return wavelet_reconstruction(decoded, pre).astype(jnp.bfloat16)
+
+    aot = {}
+    pre = None
+
+    def compile_chain():
+        nonlocal pre
+        aot["swinir"] = jax.jit(stage_swinir).lower(params, prev0).compile()
+        pre = aot["swinir"](params, prev0)
+        aot["vae_encode"] = jax.jit(stage_encode).lower(params, pre).compile()
+        z_pre = aot["vae_encode"](params, pre)
+        aot["scan"] = jax.jit(stage_denoise).lower(params, z_pre, rng).compile()
+        z = aot["scan"](params, z_pre, rng)
+        aot["decode+wavelet"] = jax.jit(stage_decode).lower(params, z, pre).compile()
+        out = aot["decode+wavelet"](params, z, pre)
+        if detnet is not None:
+            aot["detect"] = jax.jit(
+                lambda dv, x: detnet.apply(dv, x)[0]["scores"]
+            ).lower(det_vars, out).compile()
+        return out
+
+    out = compile_chain()
+    jax.block_until_ready(out)
+
+    def chain(prev, key):
+        pre = aot["swinir"](params, prev)
+        z_pre = aot["vae_encode"](params, pre)
+        z = aot["scan"](params, z_pre, key)
+        img = aot["decode+wavelet"](params, z, pre)
+        scores = aot["detect"](det_vars, img) if "detect" in aot else None
+        return img, scores
+
+    out, scores = chain(prev0, rng)  # steady-state dtype warm-up
+    jax.block_until_ready(out)
+
+    # serial single-stream latency (the honest per-request number)
+    t0 = time.time()
+    for i in range(ITERS):
+        out, scores = chain(out, jax.random.fold_in(rng, i))
+    sink = float(out.astype(jnp.float32).mean())
+    if scores is not None:
+        sink += float(scores.astype(jnp.float32).mean())
+    dt_serial = (time.time() - t0) / ITERS
+
+    # throughput: STREAMS independent recycling chains interleaved — lets the
+    # runtime overlap per-execution bubbles exactly like a serving pipeline
+    # with >1 in-flight request (the monolith measured ~10 ms/img of
+    # serial-chain bubble on the tunnel)
+    streams = max(1, int(os.environ.get("EDTR_BENCH_STREAMS", "2")))
+    outs = [chain(prev0, jax.random.fold_in(rng, 1000 + s))[0]
+            for s in range(streams)]
+    jax.block_until_ready(outs)
+    t0 = time.time()
+    last_scores = None
+    for i in range(ITERS):
+        for s in range(streams):
+            outs[s], last_scores = chain(
+                outs[s], jax.random.fold_in(rng, i * streams + s))
+    sink += sum(float(o.astype(jnp.float32).mean()) for o in outs)
+    if last_scores is not None:
+        sink += float(last_scores.astype(jnp.float32).mean())
+    dt = (time.time() - t0) / (ITERS * streams)
+
+    total_flops = sum(_flops(c) for c in aot.values())
+
+    # per-stage steady state with the SAME executables
+    stages = {}
+    z_pre_s = aot["vae_encode"](params, pre)
+    z_s = aot["scan"](params, z_pre_s, rng)
+    stages["swinir"] = round(_timeit(lambda: aot["swinir"](params, prev0)) * 1e3 / BATCH, 2)
+    stages["vae_encode"] = round(_timeit(lambda: aot["vae_encode"](params, pre)) * 1e3 / BATCH, 2)
+    stages["scan"] = round(_timeit(lambda: aot["scan"](params, z_pre_s, rng)) * 1e3 / BATCH, 2)
+    stages["decode+wavelet"] = round(
+        _timeit(lambda: aot["decode+wavelet"](params, z_s, pre)) * 1e3 / BATCH, 2)
+    if "detect" in aot:
+        stages["detect"] = round(
+            _timeit(lambda: aot["detect"](det_vars, out)) * 1e3 / BATCH, 2)
+    stages["serial_1stream_ms_per_img"] = round(dt_serial * 1e3 / BATCH, 2)
+    stages["throughput_streams"] = streams
+
     _report(dt, total_flops, detnet, image_size, stages)
 
 

@@ -60,50 +60,61 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         orig_dtype = x.dtype
+        b = x.shape[0]
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         g = self.num_groups
-        spatial = x.shape[1:-1]
-        # keep the tensor in its compute dtype; every consumer fuses its OWN
-        # f32 upcast into its read. An up-front x.astype(f32) made XLA
-        # materialize a full fp32 copy shared by the stats and apply kernels
-        # — 3x the HBM traffic on the 512² VAE maps (measured 17.6% MFU
-        # resblocks; the decoder is 21% of the pipeline).
-        xg = x.reshape(x.shape[0], -1, g, c // g)  # (B, S, G, C/G)
-        # two-pass fp32 stats (no E[x²]-E[x]² cancellation) over the RAW
+        cg = c // g
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        n_spatial = 1
+        for a in spatial_axes:
+            n_spatial *= x.shape[a]
+        count = jnp.asarray(n_spatial * cg, jnp.float32)
+
+        # LAYOUT-CRITICAL: stats reduce over SPATIAL axes only, keeping C in
+        # the 128-lane minor dim. The old (B, S, G, C/G) reshape put C/G
+        # (4..40) in lanes — a forced relayout + ~3% lane utilization that
+        # made the norm stat passes 41% of the whole restore executable
+        # (778 convert_reduce fusions, 232 of 569 ms at bs8 512², r3 trace).
+        # Per-group aggregation happens on the tiny (B, C) partials instead.
+        # Two-pass fp32 stats (no E[x²]-E[x]² cancellation) over the RAW
         # tile data — these feed the sow below even when global moments are
         # injected, so the tiled-VAE fixed-point iteration keeps observing
-        # the actual tiles
-        t_mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
-        t_var = jnp.mean(
-            jnp.square(xg.astype(jnp.float32) - t_mean),
-            axis=(1, 3), keepdims=True,
-        )
+        # the actual tiles. (Channel-then-group summation order differs from
+        # the old flat order by fp32 associativity only, ~1e-7 relative.)
+        ch_sum = jnp.sum(x, axis=spatial_axes, dtype=jnp.float32)  # (B, C)
+        mean_g = ch_sum.reshape(b, g, cg).sum(-1) / count          # (B, G)
+        mean_c = jnp.broadcast_to(mean_g[:, :, None], (b, g, cg)).reshape(b, c)
+        mean_bc = mean_c.reshape((b,) + (1,) * len(spatial_axes) + (c,))
+        diff = x.astype(jnp.float32) - mean_bc
+        var_g = jnp.sum(diff * diff, axis=spatial_axes).reshape(
+            b, g, cg).sum(-1) / count                              # (B, G)
+
         if self.has_variable("gn_moments", "mean"):
-            mean = self.get_variable("gn_moments", "mean")[:, None, :, None]
-            var = self.get_variable("gn_moments", "var")[:, None, :, None]
+            use_mean_g = self.get_variable("gn_moments", "mean")   # (B, G)
+            use_var_g = self.get_variable("gn_moments", "var")
         else:
-            mean, var = t_mean, t_var
+            use_mean_g, use_var_g = mean_g, var_g
         # tiled-VAE GroupNorm sync (utils/tilevae/tilevae.py:232-278 parity):
         # pass 1 sows per-group (count, sum, sumsq); pass 2 injects globally
-        # aggregated moments through the "gn_moments" collection. The sown
-        # sums derive from the raw tile moments (no extra reductions beyond
-        # the two stats passes; XLA drops them when the collection is
-        # immutable).
-        count = jnp.asarray(xg.shape[1] * xg.shape[3], jnp.float32)
-        mean_g = t_mean[:, 0, :, 0]
-        var_g = t_var[:, 0, :, 0]
+        # aggregated moments through the "gn_moments" collection.
         self.sow(
             "gn_stats",
             "stats",
             (count, mean_g * count, (var_g + jnp.square(mean_g)) * count),
             reduce_fn=lambda a, b: b,
         )
-        inv = jax.lax.rsqrt(var + self.epsilon)
-        xn = (xg.astype(jnp.float32) - mean) * inv
-        y = xn.reshape((x.shape[0],) + spatial + (c,))
-        y = y * scale + bias
+        inv_g = jax.lax.rsqrt(use_var_g + self.epsilon)            # (B, G)
+        use_mean_c = jnp.broadcast_to(
+            use_mean_g[:, :, None], (b, g, cg)).reshape(b, c)
+        inv_c = jnp.broadcast_to(inv_g[:, :, None], (b, g, cg)).reshape(b, c)
+        # fold the affine into the per-channel scale/shift so the apply is
+        # one fused multiply-add over the NHWC tensor
+        mul = inv_c * scale[None, :]                               # (B, C)
+        add = bias[None, :] - use_mean_c * mul
+        shape_bc = (b,) + (1,) * len(spatial_axes) + (c,)
+        y = x.astype(jnp.float32) * mul.reshape(shape_bc) + add.reshape(shape_bc)
         return y.astype(orig_dtype)
 
 

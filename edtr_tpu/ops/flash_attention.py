@@ -50,13 +50,24 @@ MIN_SEQ = 512
 
 
 def shapes_supported(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> bool:
-    """(B, N, H, D) self-attention shapes the Pallas kernels accept."""
+    """(B, N, H, D) self-attention shapes the Pallas kernels accept.
+
+    Wide heads (D up to 512 — the VAE mid-attention is single-head D=512 at
+    4096 tokens, model/vae.py:127-323) take the blockwise kernel as long as
+    the whole-KV VMEM residency fits (~8 MB for K+V); the whole-sequence
+    kernel stays D<=128 (its S block is the VMEM budget).
+    """
     if q.ndim != 4 or k.shape != v.shape:
         return False
     b, nq, h, d = q.shape
     nk = k.shape[1]
-    if d > 128 or nq != nk:
+    if nq != nk:
         return False
+    if d > 128:
+        kv_bytes = 2 * nk * d * q.dtype.itemsize
+        if d > 512 or kv_bytes > 8 * 1024 * 1024:
+            return False
+        return nq >= 2048 and nq % Q_BLOCK == 0 and nk % KV_BLOCK == 0
     if nq >= 2048:
         return nq % Q_BLOCK == 0 and nk % KV_BLOCK == 0
     return nq >= MIN_SEQ and nq % 128 == 0
@@ -71,20 +82,26 @@ def _interpret() -> bool:
 # =============================================================================
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float, kv_len: int):
-    q = q_ref[0].astype(jnp.float32) * scale  # (Qb, D)
+    # MXU dtype discipline (mirrors the XLA oracle, ops/attention.py):
+    # matmuls run on the INPUT dtype with fp32 accumulation — bf16 inputs get
+    # the native bf16 MXU rate (an up-front .astype(f32) forced fp32
+    # multi-pass matmuls, ~33% MFU in the r3 trace); softmax math stays fp32
+    # (scale applied to the f32 logits, probabilities cast to v.dtype for PV).
+    q = q_ref[0]  # (Qb, D), native dtype
     num_kv = kv_len // KV_BLOCK
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k_blk = k_ref[0, pl.ds(i * KV_BLOCK, KV_BLOCK), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(i * KV_BLOCK, KV_BLOCK), :].astype(jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # (Qb, Kb)
+        k_blk = k_ref[0, pl.ds(i * KV_BLOCK, KV_BLOCK), :]
+        v_blk = v_ref[0, pl.ds(i * KV_BLOCK, KV_BLOCK), :]
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(
+            p.astype(v_blk.dtype), v_blk, preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
     d = q_ref.shape[-1]
@@ -133,37 +150,32 @@ def _flash_fwd_flat(qf, kf, vf, scale: float):
 # =============================================================================
 
 def _whole_fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale          # (N, D)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (N, N) in VMEM
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]             # native dtype
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (N, N)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0] = (jnp.dot(p, v, preferred_element_type=jnp.float32) / l).astype(
-        o_ref.dtype)
+    o_ref[0] = (jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+                / l).astype(o_ref.dtype)
     l_ref[0] = m + jnp.log(l)
 
 
 def _whole_bwd_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref,
                       dq_ref, dk_ref, dv_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]  # native dtype
     lse = l_ref[0]
     dd = dd_ref[0]
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-    p = jnp.exp(s - lse)                               # (N, N)
-    dv_ref[0] = jnp.dot(p.T, do, preferred_element_type=jnp.float32).astype(
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse)                               # (N, N) fp32
+    p_lo = p.astype(v.dtype)
+    dv_ref[0] = jnp.dot(p_lo.T, do, preferred_element_type=jnp.float32).astype(
         dv_ref.dtype)
     dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-    ds = p * (dp - dd)
+    ds = (p * (dp - dd)).astype(q.dtype)
     dq_ref[0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
                  * scale).astype(dq_ref.dtype)
-    # q already carries scale, so dsᵀ q == scale * dsᵀ q_raw
-    dk_ref[0] = jnp.dot(ds.T, q, preferred_element_type=jnp.float32).astype(
-        dk_ref.dtype)
+    dk_ref[0] = (jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+                 * scale).astype(dk_ref.dtype)
 
 
 def _whole_fwd_flat(qf, kf, vf, scale: float):
@@ -207,19 +219,19 @@ def _whole_bwd_flat(qf, kf, vf, dof, lse, dd, scale: float):
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref, dq_ref,
                *, scale: float, kv_len: int):
-    q = q_ref[0].astype(jnp.float32) * scale          # (Qb, D)
-    do = do_ref[0].astype(jnp.float32)                # (Qb, D)
+    q = q_ref[0]                                      # (Qb, D) native dtype
+    do = do_ref[0]
     lse = l_ref[0]                                    # (Qb, 1)
     dd = dd_ref[0]                                    # (Qb, 1)
     num_kv = kv_len // KV_BLOCK
 
     def body(i, dq):
-        k_blk = k_ref[0, pl.ds(i * KV_BLOCK, KV_BLOCK), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(i * KV_BLOCK, KV_BLOCK), :].astype(jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        k_blk = k_ref[0, pl.ds(i * KV_BLOCK, KV_BLOCK), :]
+        v_blk = v_ref[0, pl.ds(i * KV_BLOCK, KV_BLOCK), :]
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
         p = jnp.exp(s - lse)                          # softmax probs block
         dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - dd)
+        ds = (p * (dp - dd)).astype(k_blk.dtype)
         return dq + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
 
     dq = jax.lax.fori_loop(
@@ -229,30 +241,30 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref, dq_ref,
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref, dk_ref, dv_ref,
                 *, scale: float, q_len: int):
-    k_blk = k_ref[0].astype(jnp.float32)              # (Kb, D)
-    v_blk = v_ref[0].astype(jnp.float32)              # (Kb, D)
+    k_blk = k_ref[0]                                  # (Kb, D) native dtype
+    v_blk = v_ref[0]
     num_q = q_len // Q_BLOCK
     d = k_blk.shape[-1]
 
     def body(i, carry):
         dk, dv = carry
-        q_blk = q_ref[0, pl.ds(i * Q_BLOCK, Q_BLOCK), :].astype(jnp.float32) * scale
-        do_blk = do_ref[0, pl.ds(i * Q_BLOCK, Q_BLOCK), :].astype(jnp.float32)
+        q_blk = q_ref[0, pl.ds(i * Q_BLOCK, Q_BLOCK), :]
+        do_blk = do_ref[0, pl.ds(i * Q_BLOCK, Q_BLOCK), :]
         lse = l_ref[0, pl.ds(i * Q_BLOCK, Q_BLOCK), :]   # (Qb, 1)
         dd = dd_ref[0, pl.ds(i * Q_BLOCK, Q_BLOCK), :]
-        s = jnp.dot(q_blk, k_blk.T, preferred_element_type=jnp.float32)
-        p = jnp.exp(s - lse)                          # (Qb, Kb)
-        dv = dv + jnp.dot(p.T, do_blk, preferred_element_type=jnp.float32)
+        s = jnp.dot(q_blk, k_blk.T, preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)                          # (Qb, Kb) fp32
+        dv = dv + jnp.dot(p.astype(do_blk.dtype).T, do_blk,
+                          preferred_element_type=jnp.float32)
         dp = jnp.dot(do_blk, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - dd)
-        # q_blk carries the scale factor, so ds^T q_blk IS scale * ds^T q
+        ds = (p * (dp - dd)).astype(q_blk.dtype)
         dk = dk + jnp.dot(ds.T, q_blk, preferred_element_type=jnp.float32)
         return dk, dv
 
     dk0 = jnp.zeros((k_blk.shape[0], d), jnp.float32)
     dv0 = jnp.zeros((k_blk.shape[0], d), jnp.float32)
     dk, dv = jax.lax.fori_loop(0, num_q, body, (dk0, dv0))
-    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
@@ -328,14 +340,14 @@ def _from_flat(xf, b, h):
     return xf.reshape(b, h, n, d).transpose(0, 2, 1, 3)
 
 
-def _whole(n: int) -> bool:
-    return n <= WHOLE_SEQ_MAX
+def _whole(n: int, d: int) -> bool:
+    return n <= WHOLE_SEQ_MAX and d <= 128
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q, k, v, scale: float):
     qf, kf, vf = _to_flat(q), _to_flat(k), _to_flat(v)
-    if _whole(q.shape[1]):
+    if _whole(q.shape[1], q.shape[3]):
         out, _ = _whole_fwd_flat(qf, kf, vf, scale)
     else:
         out, _ = _flash_fwd_flat(qf, kf, vf, scale)
@@ -345,7 +357,7 @@ def flash_attention(q, k, v, scale: float):
 def _fwd(q, k, v, scale):
     b, h = q.shape[0], q.shape[2]
     qf, kf, vf = _to_flat(q), _to_flat(k), _to_flat(v)
-    if _whole(q.shape[1]):
+    if _whole(q.shape[1], q.shape[3]):
         of, lse = _whole_fwd_flat(qf, kf, vf, scale)
     else:
         of, lse = _flash_fwd_flat(qf, kf, vf, scale)
@@ -358,7 +370,7 @@ def _bwd(scale, residuals, g):
     # D_i = sum_d dO_i O_i — the softmax-jacobian row correction
     dd = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32),
                  axis=-1, keepdims=True)  # (bh, nq, 1)
-    if _whole(qf.shape[1]):
+    if _whole(qf.shape[1], qf.shape[2]):
         dqf, dkf, dvf = _whole_bwd_flat(qf, kf, vf, dof, lse, dd, scale)
     else:
         dqf, dkf, dvf = _flash_bwd_flat(qf, kf, vf, dof, lse, dd, scale)

@@ -197,7 +197,15 @@ def make_edtr_train_step(
     @jax.checkpoint
     def det_feats(det_vars, images):
         # rematerialized: the HLF half runs four 512² detnet feature passes
-        # whose activations otherwise sit in HBM for the backward
+        # whose activations otherwise sit in HBM for the backward.
+        # BN note: these FEATURE passes normalize with running stats
+        # (eval-mode BN). The torch reference leaves the student detnet in
+        # train() here, so for the v2 recipe its feature passes would use
+        # batch stats and update the running buffers 4 extra times per step
+        # — a documented minor deviation kept deliberately: an L1 feature-
+        # matching loss through remat'd no-update batch-stat BN would
+        # couple the loss to batch composition for no modeling benefit.
+        # The detnet LOSS half (detnet_loss below) is exact train-mode BN.
         _, _, feats = detnet.apply(det_vars, images)
         return feats["features"]
 
@@ -520,19 +528,51 @@ def make_edtr_generic_train_step(
     return jax.jit(step_fn, donate_argnums=(0,)) if jit else step_fn
 
 
-def make_edtr_sample_fn(pipe, jit: bool = True):
-    """No-grad K-step restore used for eval; parity ``test_edtr`` flow."""
+def make_edtr_sample_fn(pipe, jit: bool = True, staged: bool = True):
+    """No-grad K-step restore used for eval; parity ``test_edtr`` flow.
 
-    def sample(params, lq, c_txt, rng):
-        pre_res = pipe.pre_restore(params, lq)
-        z_pre = pipe.cldm.vae_encode(params, pre_res * 2 - 1, sample=False)
+    ``staged=True`` (default) dispatches four per-stage executables
+    (swinir | vae_encode | q_sample+scan | decode+wavelet) instead of one
+    monolith: dispatch RTT is ~0.01 ms while the monolithic executable
+    measured ~10 ms/img slower than its stage sum at 512² bs8 (XLA
+    buffer-pressure; same effect that made fused restore+detect slower in
+    r2). Results are numerically identical.
+    """
+
+    def stage_pre(params, lq):
+        return pipe.pre_restore(params, lq)
+
+    def stage_enc(params, pre_res):
+        return pipe.cldm.vae_encode(params, pre_res * 2 - 1, sample=False)
+
+    def stage_denoise(params, z_pre, c_txt, rng):
         cond = dict(c_txt=c_txt, c_img=z_pre)
         r1, r2 = jax.random.split(rng)
         noise = jax.random.normal(r1, z_pre.shape, z_pre.dtype)
-        t = jnp.full((lq.shape[0],), pipe.start_timestep, jnp.int32)
+        t = jnp.full((z_pre.shape[0],), pipe.start_timestep, jnp.int32)
         z_T = pipe.diffusion.q_sample(z_pre, t, noise)
-        z = sample_scan(pipe.cldm.model_fn(params), pipe.schedule, z_T, cond, r2)
+        return sample_scan(pipe.cldm.model_fn(params), pipe.schedule, z_T, cond, r2)
+
+    def stage_dec(params, z, pre_res):
         decoded = (pipe.cldm.vae_decode(params, z) + 1) / 2
         return wavelet_reconstruction(decoded, pre_res)
+
+    if staged and jit:
+        f_pre = jax.jit(stage_pre)
+        f_enc = jax.jit(stage_enc)
+        f_den = jax.jit(stage_denoise)
+        f_dec = jax.jit(stage_dec)
+
+        def sample(params, lq, c_txt, rng):
+            pre_res = f_pre(params, lq)
+            z = f_den(params, f_enc(params, pre_res), c_txt, rng)
+            return f_dec(params, z, pre_res)
+
+        return sample
+
+    def sample(params, lq, c_txt, rng):
+        pre_res = stage_pre(params, lq)
+        z = stage_denoise(params, stage_enc(params, pre_res), c_txt, rng)
+        return stage_dec(params, z, pre_res)
 
     return jax.jit(sample) if jit else sample

@@ -26,6 +26,10 @@ def pytest_configure(config):
         "markers",
         "golden: slow torch-oracle golden parity tests (deselect with -m 'not golden')",
     )
+    config.addinivalue_line(
+        "markers",
+        "multiprocess: forks real coordinator-connected worker processes",
+    )
 
 
 @pytest.fixture

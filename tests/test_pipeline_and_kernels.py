@@ -31,6 +31,25 @@ def test_flash_attention_matches_xla_interpret(seq):
     )
 
 
+def test_flash_attention_wide_head_vae_shape():
+    # the VAE mid-attention: single head, D=512, 4096 tokens (bf16 on TPU
+    # keeps K+V VMEM-resident; fp32 here runs the interpret path)
+    from edtr_tpu.ops.attention import _xla_attention
+    from edtr_tpu.ops.flash_attention import flash_attention, shapes_supported
+
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks[0], (1, 4096, 1, 512), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (1, 4096, 1, 512), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (1, 4096, 1, 512), jnp.bfloat16)
+    assert shapes_supported(q, k, v)
+    scale = 512 ** -0.5
+    o_flash = flash_attention(q, k, v, scale).astype(jnp.float32)
+    o_xla = _xla_attention(q, k, v, scale).astype(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(o_flash), np.asarray(o_xla), rtol=2e-2, atol=2e-2
+    )
+
+
 @pytest.mark.parametrize("seq", [1024, 2048])
 def test_flash_attention_gradients(seq):
     from edtr_tpu.ops.attention import _xla_attention
