@@ -419,6 +419,7 @@ def make_edtr_generic_train_step(
     weight_task: float = 1.0,
     weight_fm: float = 0.2,
     jit: bool = True,
+    accum_steps: int = 1,
 ):
     """EDTR two-half step for cls/seg task nets.
 
@@ -432,6 +433,11 @@ def make_edtr_generic_train_step(
     (loss, (metrics, new_extra))`` come from ``runner._task_apply_for``.
     The param bundle carries ``tasknet`` / ``teacher_tasknet`` as full
     variables dicts.
+
+    ``accum_steps=K``: same microbatch accumulation as
+    :func:`make_edtr_train_step` — the reference cls recipe trains at
+    global bs 32 and seg at 16 (configs/{cls,seg}/*/train/007_edtr-s4.yaml),
+    reproducible on one chip with K microbatches per optimizer update.
     """
     diffusion = pipe.diffusion
     used_ts = jnp.asarray(pipe.used_timesteps, jnp.int32)
@@ -484,39 +490,110 @@ def make_edtr_generic_train_step(
         total = weight_task * loss_task + loss_fm
         return total, (dict(metrics, loss_task=loss_task, loss_fm=loss_fm), new_extra)
 
-    def step_fn(state: EDTRTrainState, batch, rng):
-        r_edtr, r_task = jax.random.split(rng)
-        params = state.params
-        lq, gt = batch["lq"], batch["gt"]
-        pre_res = jax.lax.stop_gradient(pipe.pre_restore(params, lq))
+    def _shared_for(params, mb):
+        pre_res = jax.lax.stop_gradient(pipe.pre_restore(params, mb["lq"]))
         z_pre = jax.lax.stop_gradient(
             pipe.cldm.vae_encode(params, pre_res * 2 - 1, sample=False)
         )
-        cond = dict(c_txt=batch["c_txt"], c_img=z_pre)
-        shared = (gt, pre_res, z_pre, cond)
+        cond = dict(c_txt=mb["c_txt"], c_img=z_pre)
+        return (mb["gt"], pre_res, z_pre, cond)
 
+    def step_fn(state: EDTRTrainState, batch, rng):
+        r_edtr, r_task = jax.random.split(rng)
+        params = state.params
+
+        if accum_steps == 1:
+            shared = _shared_for(params, batch)
+
+            trainable, frozen = split_trainable(params, state.train_decoder)
+            (loss_e, m_e), grads = jax.value_and_grad(edtr_loss, has_aux=True)(
+                trainable, frozen, shared, r_edtr
+            )
+            updates, new_opt_e = state.tx_edtr.update(
+                grads, state.opt_edtr_state, trainable)
+            params = merge_params(optax.apply_updates(trainable, updates), frozen)
+            metrics = dict(m_e)
+
+            task_params = params["tasknet"]["params"]
+            (loss_t, (m_t, new_extra)), tgrads = jax.value_and_grad(
+                task_loss, has_aux=True
+            )(task_params, params, batch, shared, r_task)
+            tupdates, new_opt_d = state.tx_detnet.update(
+                tgrads, state.opt_detnet_state, task_params
+            )
+            params = dict(params)
+            params["tasknet"] = {
+                **params["tasknet"],
+                "params": optax.apply_updates(task_params, tupdates),
+                **(new_extra or {}),
+            }
+            metrics.update(m_t)
+            return (
+                state.replace(
+                    params=params, opt_edtr_state=new_opt_e,
+                    opt_detnet_state=new_opt_d, step=state.step + 1,
+                ),
+                metrics,
+            )
+
+        # ----- gradient accumulation (see make_edtr_train_step) ------------
+        def to_micro(x):
+            return x.reshape((accum_steps, x.shape[0] // accum_steps)
+                             + x.shape[1:])
+
+        micro = jax.tree.map(to_micro, batch)
         trainable, frozen = split_trainable(params, state.train_decoder)
-        (loss_e, m_e), grads = jax.value_and_grad(edtr_loss, has_aux=True)(
-            trainable, frozen, shared, r_edtr
-        )
-        updates, new_opt_e = state.tx_edtr.update(grads, state.opt_edtr_state, trainable)
+
+        def shared_scan(_, mb):
+            return None, _shared_for(params, mb)
+
+        _, shared_stack = jax.lax.scan(shared_scan, None, micro)
+
+        def edtr_acc(carry, inp):
+            g_acc, key = carry
+            mb, sh = inp
+            key, sub = jax.random.split(key)
+            (_, m), g = jax.value_and_grad(edtr_loss, has_aux=True)(
+                trainable, frozen, sh, sub
+            )
+            return (jax.tree.map(jnp.add, g_acc, g), key), m
+
+        zeros = jax.tree.map(jnp.zeros_like, trainable)
+        (g_sum, _), m_e = jax.lax.scan(
+            edtr_acc, (zeros, r_edtr), (micro, shared_stack))
+        grads = jax.tree.map(lambda g: g / accum_steps, g_sum)
+        updates, new_opt_e = state.tx_edtr.update(
+            grads, state.opt_edtr_state, trainable)
         params = merge_params(optax.apply_updates(trainable, updates), frozen)
-        metrics = dict(m_e)
+        metrics = {k: v.mean() for k, v in m_e.items()}
 
         task_params = params["tasknet"]["params"]
-        (loss_t, (m_t, new_extra)), tgrads = jax.value_and_grad(
-            task_loss, has_aux=True
-        )(task_params, params, batch, shared, r_task)
+
+        def task_acc(carry, inp):
+            g_acc, extra, key = carry
+            mb, sh = inp
+            key, sub = jax.random.split(key)
+            p = dict(params)
+            p["tasknet"] = {**params["tasknet"], **extra}
+            (_, (m, new_extra)), g = jax.value_and_grad(
+                task_loss, has_aux=True
+            )(task_params, p, mb, sh, sub)
+            return (jax.tree.map(jnp.add, g_acc, g), new_extra or extra, key), m
+
+        extra0 = {k: v for k, v in params["tasknet"].items() if k != "params"}
+        tzeros = jax.tree.map(jnp.zeros_like, task_params)
+        (tg_sum, new_extra, _), m_t = jax.lax.scan(
+            task_acc, (tzeros, extra0, r_task), (micro, shared_stack))
+        tgrads = jax.tree.map(lambda g: g / accum_steps, tg_sum)
         tupdates, new_opt_d = state.tx_detnet.update(
-            tgrads, state.opt_detnet_state, task_params
-        )
+            tgrads, state.opt_detnet_state, task_params)
         params = dict(params)
         params["tasknet"] = {
             **params["tasknet"],
             "params": optax.apply_updates(task_params, tupdates),
-            **(new_extra or {}),
+            **new_extra,
         }
-        metrics.update(m_t)
+        metrics.update({k: v.mean() for k, v in m_t.items()})
         return (
             state.replace(
                 params=params, opt_edtr_state=new_opt_e,

@@ -609,11 +609,15 @@ def edtr_train_task(
         train_steps=train_cfg.get("train_steps", 10000),
     )
     state = state.replace(params=params)
+    accum_steps = int(train_cfg.get("accum_steps", 1))
+    if accum_steps > 1:
+        logger(f"gradient accumulation: {accum_steps} microbatches/step")
     step_fn = make_edtr_generic_train_step(
         pipe, feats_fn, loss_fn,
         weight_hlf=train_cfg.get("weight_hlf", 0.5),
         weight_task=train_cfg.get("weight_ce", train_cfg.get("weight_det", 1.0)),
         weight_fm=train_cfg.get("weight_fm", 0.2),
+        accum_steps=accum_steps,
     )
 
     dataset = instantiate_from_config(cfg["dataset"]["train"])
