@@ -64,8 +64,10 @@ def shapes_supported(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> bool:
     if nq != nk:
         return False
     if d > 128:
-        kv_bytes = 2 * nk * d * q.dtype.itemsize
-        if d > 512 or kv_bytes > 8 * 1024 * 1024:
+        # wide heads go through the STREAMED-KV kernel (KV blocks arrive via
+        # the grid, not whole-KV residency — whole-KV at D=512/N=4096 bf16 is
+        # 8 MB which double-buffers past the 16 MB VMEM limit)
+        if d > 512 or d % 128 != 0:
             return False
         return nq >= 2048 and nq % Q_BLOCK == 0 and nk % KV_BLOCK == 0
     if nq >= 2048:
@@ -143,6 +145,104 @@ def _flash_fwd_flat(qf, kf, vf, scale: float):
         ],
         interpret=_interpret(),
     )(qf, kf, vf)
+
+
+# =============================================================================
+# streamed-KV forward (wide heads, 128 < D <= 512)
+# =============================================================================
+
+def _fwd_kernel_streamkv(q_ref, k_ref, v_ref, o_ref, l_ref,
+                         acc_ref, m_ref, s_ref, *, scale: float, num_kv: int):
+    """Flash forward with KV blocks delivered BY THE GRID (innermost dim).
+
+    The VAE mid-attention (single head, D=512, N=4096 at 512² —
+    /root/reference/model/vae.py:127-323) cannot keep whole K/V VMEM-resident
+    like :func:`_fwd_kernel` does (2×4 MB bf16, doubled by Pallas input
+    double-buffering → >16 MB). Here each grid cell sees ONE (KV_BLOCK, D)
+    slab of K and V; the online-softmax state (acc, m, l) lives in VMEM
+    scratch, which persists across the sequential kv iterations of a given
+    (bh, q_block) row on TPU. Residency per cell: acc 1 MB (f32, D=512) +
+    three double-buffered 0.5 MB slabs ≈ 4.5 MB.
+    """
+    kv_i = pl.program_id(2)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    q, k_blk, v_blk = q_ref[0], k_ref[0], v_ref[0]      # native dtype
+    s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+    m_prev, l_prev = m_ref[...], s_ref[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    s_ref[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
+        p.astype(v_blk.dtype), v_blk, preferred_element_type=jnp.float32)
+    m_ref[...] = m_new
+
+    @pl.when(kv_i == num_kv - 1)
+    def _flush():
+        l = s_ref[...]
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+        l_ref[0] = m_ref[...] + jnp.log(l)
+
+
+def _streamkv_fwd_flat(qf, kf, vf, scale: float):
+    bh, nq, d = qf.shape
+    nk = kf.shape[1]
+    num_kv = nk // KV_BLOCK
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_streamkv, scale=scale, num_kv=num_kv),
+        grid=(bh, nq // Q_BLOCK, num_kv),
+        in_specs=[
+            pl.BlockSpec((1, Q_BLOCK, d), lambda i, j, m: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KV_BLOCK, d), lambda i, j, m: (i, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KV_BLOCK, d), lambda i, j, m: (i, m, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Q_BLOCK, d), lambda i, j, m: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q_BLOCK, 1), lambda i, j, m: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq, d), vf.dtype),
+            jax.ShapeDtypeStruct((bh, nq, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Q_BLOCK, d), jnp.float32),
+            pltpu.VMEM((Q_BLOCK, 1), jnp.float32),
+            pltpu.VMEM((Q_BLOCK, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(qf, kf, vf)
+
+
+def _xla_bwd_flat(qf, kf, vf, dof, lse, dd, scale: float):
+    """Wide-head backward: plain XLA from the saved logsumexp.
+
+    Only reachable through ``train_decoder`` recipes (the VAE encode side is
+    stop-gradient'd in the EDTR step); the N² probability tensor lives in
+    HBM here, which is fine for the training path.
+    """
+    f32 = jnp.float32
+    s = jnp.einsum("bqd,bkd->bqk", qf, kf, preferred_element_type=f32) * scale
+    p = jnp.exp(s - lse)                                  # (bh, nq, nk) f32
+    dv = jnp.einsum("bqk,bqd->bkd", p.astype(dof.dtype), dof,
+                    preferred_element_type=f32).astype(vf.dtype)
+    dp = jnp.einsum("bqd,bkd->bqk", dof, vf, preferred_element_type=f32)
+    ds = (p * (dp - dd)).astype(qf.dtype)
+    dq = (jnp.einsum("bqk,bkd->bqd", ds, kf, preferred_element_type=f32)
+          * scale).astype(qf.dtype)
+    dk = (jnp.einsum("bqk,bqd->bkd", ds, qf, preferred_element_type=f32)
+          * scale).astype(kf.dtype)
+    return dq, dk, dv
 
 
 # =============================================================================
@@ -344,23 +444,26 @@ def _whole(n: int, d: int) -> bool:
     return n <= WHOLE_SEQ_MAX and d <= 128
 
 
+def _fwd_flat_dispatch(qf, kf, vf, scale):
+    n, d = qf.shape[1], qf.shape[2]
+    if d > 128:
+        return _streamkv_fwd_flat(qf, kf, vf, scale)
+    if _whole(n, d):
+        return _whole_fwd_flat(qf, kf, vf, scale)
+    return _flash_fwd_flat(qf, kf, vf, scale)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q, k, v, scale: float):
     qf, kf, vf = _to_flat(q), _to_flat(k), _to_flat(v)
-    if _whole(q.shape[1], q.shape[3]):
-        out, _ = _whole_fwd_flat(qf, kf, vf, scale)
-    else:
-        out, _ = _flash_fwd_flat(qf, kf, vf, scale)
+    out, _ = _fwd_flat_dispatch(qf, kf, vf, scale)
     return _from_flat(out, q.shape[0], q.shape[2])
 
 
 def _fwd(q, k, v, scale):
     b, h = q.shape[0], q.shape[2]
     qf, kf, vf = _to_flat(q), _to_flat(k), _to_flat(v)
-    if _whole(q.shape[1], q.shape[3]):
-        of, lse = _whole_fwd_flat(qf, kf, vf, scale)
-    else:
-        of, lse = _flash_fwd_flat(qf, kf, vf, scale)
+    of, lse = _fwd_flat_dispatch(qf, kf, vf, scale)
     return _from_flat(of, b, h), (qf, kf, vf, of, lse, b, h)
 
 
@@ -370,7 +473,9 @@ def _bwd(scale, residuals, g):
     # D_i = sum_d dO_i O_i — the softmax-jacobian row correction
     dd = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32),
                  axis=-1, keepdims=True)  # (bh, nq, 1)
-    if _whole(qf.shape[1], qf.shape[2]):
+    if qf.shape[2] > 128:
+        dqf, dkf, dvf = _xla_bwd_flat(qf, kf, vf, dof, lse, dd, scale)
+    elif _whole(qf.shape[1], qf.shape[2]):
         dqf, dkf, dvf = _whole_bwd_flat(qf, kf, vf, dof, lse, dd, scale)
     else:
         dqf, dkf, dvf = _flash_bwd_flat(qf, kf, vf, dof, lse, dd, scale)

@@ -32,8 +32,9 @@ def test_flash_attention_matches_xla_interpret(seq):
 
 
 def test_flash_attention_wide_head_vae_shape():
-    # the VAE mid-attention: single head, D=512, 4096 tokens (bf16 on TPU
-    # keeps K+V VMEM-resident; fp32 here runs the interpret path)
+    # the VAE mid-attention: single head, D=512, 4096 tokens — streamed-KV
+    # kernel (KV blocks via the grid; whole-KV residency would double-buffer
+    # past the 16 MB VMEM limit on TPU)
     from edtr_tpu.ops.attention import _xla_attention
     from edtr_tpu.ops.flash_attention import flash_attention, shapes_supported
 
@@ -50,17 +51,19 @@ def test_flash_attention_wide_head_vae_shape():
     )
 
 
-@pytest.mark.parametrize("seq", [1024, 2048])
-def test_flash_attention_gradients(seq):
+@pytest.mark.parametrize("seq,d", [(1024, 64), (2048, 64), (2048, 256)])
+def test_flash_attention_gradients(seq, d):
+    # (2048, 256) covers the wide-head path: streamed-KV forward + the XLA
+    # backward reconstruction from the saved logsumexp (train_decoder hits it)
     from edtr_tpu.ops.attention import _xla_attention
     from edtr_tpu.ops.flash_attention import flash_attention
 
     g = jax.random.PRNGKey(1)
     k1, k2, k3 = jax.random.split(g, 3)
-    q = jax.random.normal(k1, (1, seq, 1, 64), jnp.float32)
-    k = jax.random.normal(k2, (1, seq, 1, 64), jnp.float32)
-    v = jax.random.normal(k3, (1, seq, 1, 64), jnp.float32)
-    scale = 64 ** -0.5
+    q = jax.random.normal(k1, (1, seq, 1, d), jnp.float32)
+    k = jax.random.normal(k2, (1, seq, 1, d), jnp.float32)
+    v = jax.random.normal(k3, (1, seq, 1, d), jnp.float32)
+    scale = d ** -0.5
 
     def loss(fn, q_, k_, v_):
         # non-uniform cotangent so dK/dV are nontrivial
@@ -275,6 +278,21 @@ def test_edtr_train_step_with_detnet(tiny_setup):
         det_ref, new_state.params["detnet"]["params"],
     )
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_sample_fn_staged_matches_monolith(tiny_setup):
+    """The staged 4-executable eval dispatch is numerically the monolith."""
+    from edtr_tpu.train.edtr_step import make_edtr_sample_fn
+
+    pipe, params = tiny_setup
+    lq = jax.random.uniform(jax.random.PRNGKey(5), (2, 64, 64, 3))
+    c_txt = jnp.zeros((2, pipe.cldm.clip.context_length, pipe.cldm.clip.width))
+    rng = jax.random.PRNGKey(7)
+    staged = make_edtr_sample_fn(pipe, staged=True)(params, lq, c_txt, rng)
+    mono = make_edtr_sample_fn(pipe, staged=False)(params, lq, c_txt, rng)
+    np.testing.assert_allclose(
+        np.asarray(staged, np.float32), np.asarray(mono, np.float32),
+        rtol=2e-5, atol=2e-5)
 
 
 def test_edtr_train_step_grad_accumulation(tiny_setup):
