@@ -373,10 +373,11 @@ def _run_split(pipe, params, detnet, det_vars, prev0, c_txt, rng):
     stages["serial_1stream_ms_per_img"] = round(dt_serial * 1e3 / BATCH, 2)
     stages["throughput_streams"] = streams
 
-    _report(dt, total_flops, detnet, image_size, stages)
+    stage_flops = {k: _flops(c) for k, c in aot.items()}
+    _report(dt, total_flops, detnet, image_size, stages, stage_flops)
 
 
-def _report(dt, total_flops, detnet, image_size, stages=None):
+def _report(dt, total_flops, detnet, image_size, stages=None, stage_flops=None):
     import jax
 
     img_s = BATCH / dt
@@ -403,6 +404,14 @@ def _report(dt, total_flops, detnet, image_size, stages=None):
     }
     if stages is not None:
         rec["stages_ms_per_img"] = stages
+    if stages and stage_flops:
+        # per-stage MFU from the same executables' cost analysis — shows
+        # which stage is furthest from roofline directly in the artifact
+        rec["stages_mfu"] = {
+            k: round((f / (stages[k] * BATCH / 1e3)) / peak, 3)
+            for k, f in stage_flops.items()
+            if stages.get(k) and f > 0
+        }
     print(json.dumps(rec))
 
 
