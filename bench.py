@@ -76,7 +76,9 @@ def _stage_breakdown(pipe, params, det, det_vars, lq, c_txt, rng):
     """Steady-state ms/img for each pipeline stage, separately compiled.
 
     Mirrors tools/profile_stages.py; failures degrade to None per stage so
-    the primary throughput line always prints.
+    the primary throughput line always prints. Returns ``(stages,
+    scan_flops)`` where scan_flops is the denoise executable's cost-analysis
+    flops (body counted ONCE — see the scan correction in the callers).
     """
     import jax
     import jax.numpy as jnp
@@ -85,6 +87,7 @@ def _stage_breakdown(pipe, params, det, det_vars, lq, c_txt, rng):
     from edtr_tpu.utils.image import wavelet_reconstruction
 
     stages = {}
+    scan_flops = 0.0
 
     def run(name, make):
         try:
@@ -112,7 +115,8 @@ def _stage_breakdown(pipe, params, det, det_vars, lq, c_txt, rng):
 
     scan = jax.jit(
         lambda p, zT, key: sample_scan(pipe.cldm.model_fn(p), pipe.schedule, zT, cond, key)
-    )
+    ).lower(params, z_T, rng).compile()
+    scan_flops = _flops(scan)
     z = scan(params, z_T, rng)
     run("scan", lambda: _timeit(scan, params, z_T, rng))
 
@@ -126,7 +130,7 @@ def _stage_breakdown(pipe, params, det, det_vars, lq, c_txt, rng):
     if det is not None:
         det_fn = jax.jit(lambda v, x: det.apply(v, x)[0]["scores"])
         run("detect", lambda: _timeit(det_fn, det_vars, lq.astype(jnp.bfloat16)))
-    return stages
+    return stages, scan_flops
 
 
 def main() -> None:
@@ -198,8 +202,12 @@ def main() -> None:
             sink = float(out.astype(jnp.float32).mean())
             sink += float(scores.astype(jnp.float32).mean())
             dt = (time.time() - t0) / ITERS
-            stages = (_stage_breakdown(pipe, params, detnet, det_vars, lq, c_txt, rng)
-                      if WITH_STAGES and not tiny else None)
+            stages = scan_flops = None
+            if WITH_STAGES and not tiny:
+                stages, scan_flops = _stage_breakdown(
+                    pipe, params, detnet, det_vars, lq, c_txt, rng)
+            if scan_flops:  # scan body counted once in the fused executable
+                total_flops += (len(pipe.used_timesteps) - 1) * scan_flops
             _report(dt, total_flops, detnet, image_size, stages)
             return
         except Exception as e:
@@ -254,8 +262,12 @@ def main() -> None:
         sink += float(scores.astype(jnp.float32).mean())
     dt = (time.time() - t0) / ITERS
 
-    stages = (_stage_breakdown(pipe, params, detnet, det_vars, lq, c_txt, rng)
-              if WITH_STAGES and not tiny else None)
+    stages = scan_flops = None
+    if WITH_STAGES and not tiny:
+        stages, scan_flops = _stage_breakdown(
+            pipe, params, detnet, det_vars, lq, c_txt, rng)
+    if scan_flops:  # scan body counted once in the restore executable
+        total_flops += (len(pipe.used_timesteps) - 1) * scan_flops
     _report(dt, total_flops, detnet, image_size, stages)
 
 
@@ -356,7 +368,14 @@ def _run_split(pipe, params, detnet, det_vars, prev0, c_txt, rng):
         sink += float(last_scores.astype(jnp.float32).mean())
     dt = (time.time() - t0) / (ITERS * streams)
 
-    total_flops = sum(_flops(c) for c in aot.values())
+    # XLA cost analysis counts a lax.scan body ONCE regardless of trip
+    # count (verified: an 8-iter scan of a 256³ matmul reports 1x body
+    # flops). The denoise executable is ~entirely its body — K UNet +
+    # ControlNet forwards; q_sample/posterior are negligible elementwise —
+    # so true scan flops = K x reported (error < 0.1%).
+    stage_flops = {k: _flops(c) for k, c in aot.items()}
+    stage_flops["scan"] *= len(pipe.used_timesteps)
+    total_flops = sum(stage_flops.values())
 
     # per-stage steady state with the SAME executables
     stages = {}
@@ -373,7 +392,6 @@ def _run_split(pipe, params, detnet, det_vars, prev0, c_txt, rng):
     stages["serial_1stream_ms_per_img"] = round(dt_serial * 1e3 / BATCH, 2)
     stages["throughput_streams"] = streams
 
-    stage_flops = {k: _flops(c) for k, c in aot.items()}
     _report(dt, total_flops, detnet, image_size, stages, stage_flops)
 
 
@@ -401,6 +419,9 @@ def _report(dt, total_flops, detnet, image_size, stages=None, stage_flops=None):
         "mfu": round(mfu, 4),
         "tflops_per_img": round(total_flops / BATCH / 1e12, 2),
         "e2e_ms_per_img": round(dt * 1e3 / BATCH, 2),
+        # rounds <=2 underreported MFU: XLA cost analysis counts the K-step
+        # denoise scan body once; flops here scale it by K
+        "flops_accounting": "scan body x K",
     }
     if stages is not None:
         rec["stages_ms_per_img"] = stages

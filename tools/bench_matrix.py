@@ -93,6 +93,28 @@ def main():
             return run
         raise ValueError(variant)
 
+    def _flops(compiled):
+        try:
+            cost = compiled.cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0] if cost else {}
+            return float(cost.get("flops", 0.0))
+        except Exception:
+            return 0.0
+
+    # XLA cost analysis counts a lax.scan body ONCE regardless of trip
+    # count, so the K-step sampler's flops must be corrected by
+    # (K-1) x one ControlNet+UNet forward — measured from its own AOT
+    # compile (shared across variants; dominant for DiffBIR's K=50).
+    lat = size // 8
+    z0 = jnp.zeros((BATCH, lat, lat, 4), jnp.bfloat16)
+    cond0 = {"c_txt": c_txt, "c_img": z0}
+    t0s = jnp.zeros((BATCH,), jnp.int32)
+    model_flops = _flops(
+        jax.jit(lambda p, z, t: base.cldm.model_fn(p)(z, t, cond0))
+        .lower(params, z0, t0s).compile())
+    scan_steps = {"swinir": 0, "edtr-s1": 1, "edtr-s4": 4, "diffbir50": 50}
+
     results = {}
     for variant in VARIANTS:
         variant = variant.strip()
@@ -100,13 +122,9 @@ def main():
         t0 = time.time()
         compiled = jax.jit(fn).lower(params, lq, rng).compile()
         t_compile = time.time() - t0
-        try:
-            cost = compiled.cost_analysis()
-            if isinstance(cost, list):
-                cost = cost[0] if cost else {}
-            flops = float(cost.get("flops", 0.0))
-        except Exception:
-            flops = 0.0
+        flops = _flops(compiled)
+        if flops:
+            flops += max(scan_steps.get(variant, 1) - 1, 0) * model_flops
         out = compiled(params, lq, rng)
         jax.block_until_ready(out)
         t0 = time.time()

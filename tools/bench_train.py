@@ -92,6 +92,38 @@ def main():
     except Exception:
         step_flops = 0.0
 
+    # --- scan-aware flop correction (XLA cost analysis counts lax.scan
+    # bodies ONCE regardless of trip count; verified empirically). The
+    # reported flops ≈ one microbatch's bodies + optimizer update, so the
+    # true per-step flops are ACCUM x reported, plus the detnet half's
+    # inner K-step sampler whose body (one ControlNet+UNet forward at
+    # micro/2) is also counted once: add ACCUM x (K-1) forwards, measured
+    # from a separately compiled single model forward.
+    if step_flops > 0:
+        step_flops *= ACCUM
+        if WITH_DETNET:
+            K = len(pipe.used_timesteps)
+            bs2 = max((BATCH // ACCUM) // 2, 1)
+            lat = SIZE // 8
+            z0 = jnp.zeros((bs2, lat, lat, 4), jnp.bfloat16)
+            cond0 = {
+                "c_txt": jnp.zeros(
+                    (bs2, pipe.cldm.clip.context_length, pipe.cldm.clip.width),
+                    jnp.float32),
+                "c_img": jnp.zeros((bs2, lat, lat, 4), jnp.bfloat16),
+            }
+            t0s = jnp.zeros((bs2,), jnp.int32)
+            model_c = jax.jit(
+                lambda p, z, t: pipe.cldm.model_fn(p)(z, t, cond0)
+            ).lower(state.params, z0, t0s).compile()
+            try:
+                cost = model_c.cost_analysis()
+                if isinstance(cost, list):
+                    cost = cost[0] if cost else {}
+                step_flops += ACCUM * (K - 1) * float(cost.get("flops", 0.0))
+            except Exception:
+                pass
+
     state, metrics = compiled(state, batch, rng)
     jax.block_until_ready(metrics)
 
@@ -118,6 +150,8 @@ def main():
         "compile_sec": round(t_compile, 1),
         "train_mfu": round(mfu, 4),
         "tflops_per_step": round(step_flops / 1e12, 2),
+        "flops_accounting": "scan bodies x trip count (accum x ACCUM, "
+                            "inner sampler x K)",
         "losses": {k: round(v, 4) for k, v in sink.items()},
     }))
 
