@@ -61,15 +61,12 @@ def _flops(compiled):
 
 
 def _timeit(fn, *args, iters=ITERS):
-    import jax
+    # data-dependent chaining: independent re-dispatches of one executable
+    # do not serialize (and block_until_ready does not fence) on the
+    # tunneled chip — see edtr_tpu/utils/benchtime.py for the measurements
+    from edtr_tpu.utils.benchtime import timeit_chained
 
-    out = fn(*args)  # warm dispatch path
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters
+    return timeit_chained(fn, *args, iters=iters)
 
 
 def _stage_breakdown(pipe, params, det, det_vars, lq, c_txt, rng):
@@ -381,14 +378,14 @@ def _run_split(pipe, params, detnet, det_vars, prev0, c_txt, rng):
     stages = {}
     z_pre_s = aot["vae_encode"](params, pre)
     z_s = aot["scan"](params, z_pre_s, rng)
-    stages["swinir"] = round(_timeit(lambda: aot["swinir"](params, prev0)) * 1e3 / BATCH, 2)
-    stages["vae_encode"] = round(_timeit(lambda: aot["vae_encode"](params, pre)) * 1e3 / BATCH, 2)
-    stages["scan"] = round(_timeit(lambda: aot["scan"](params, z_pre_s, rng)) * 1e3 / BATCH, 2)
+    stages["swinir"] = round(_timeit(aot["swinir"], params, prev0) * 1e3 / BATCH, 2)
+    stages["vae_encode"] = round(_timeit(aot["vae_encode"], params, pre) * 1e3 / BATCH, 2)
+    stages["scan"] = round(_timeit(aot["scan"], params, z_pre_s, rng) * 1e3 / BATCH, 2)
     stages["decode+wavelet"] = round(
-        _timeit(lambda: aot["decode+wavelet"](params, z_s, pre)) * 1e3 / BATCH, 2)
+        _timeit(aot["decode+wavelet"], params, z_s, pre) * 1e3 / BATCH, 2)
     if "detect" in aot:
         stages["detect"] = round(
-            _timeit(lambda: aot["detect"](det_vars, out)) * 1e3 / BATCH, 2)
+            _timeit(aot["detect"], det_vars, out) * 1e3 / BATCH, 2)
     stages["serial_1stream_ms_per_img"] = round(dt_serial * 1e3 / BATCH, 2)
     stages["throughput_streams"] = streams
 

@@ -46,18 +46,31 @@ def trace(log_dir: str = "/tmp/edtr_trace"):
 
 
 def timeit(fn: Callable, *args, iters: int = 10, warmup: int = 1) -> float:
-    """Steady-state seconds/call of a jitted fn (blocks on the result)."""
+    """Steady-state seconds/call of a jitted fn.
+
+    Serializes iterations through a data dependency: on the tunneled TPU,
+    independent re-dispatches return instantly and ``block_until_ready``
+    does not fence the device queue (measurements in
+    ``edtr_tpu/utils/benchtime.py``). Falls back to the naive
+    block-at-the-end loop when no floating arg is available to chain on
+    (still correct on local CPU backends).
+    """
     import jax
 
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters
+    from edtr_tpu.utils.benchtime import timeit_chained
+
+    try:
+        return timeit_chained(fn, *args, iters=iters)
+    except ValueError:
+        out = None
+        for _ in range(warmup):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / iters
 
 
 def nan_guard(tree: Any, name: str = "") -> None:

@@ -39,20 +39,29 @@ def main():
     scale = 64 ** -0.5
     results = {}
 
+    from edtr_tpu.utils.benchtime import timeit_chained
+
+    null_ms = None
+
     def timeit(fn, *args):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        t0 = time.time()
-        for _ in range(ITERS):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        return (time.time() - t0) / ITERS * 1e3  # ms
+        # chained: independent re-dispatches do not serialize on the
+        # tunneled chip (see edtr_tpu/utils/benchtime.py). The chain's
+        # dependency ops cost ~1 ms/iter — comparable to these micro
+        # kernels — so subtract a measured null-chain baseline (identity
+        # fn, same arg shapes) from every reading.
+        raw = timeit_chained(fn, *args, iters=ITERS) * 1e3  # ms
+        return max(raw - (null_ms or 0.0), 1e-3)
 
     for name, seq, heads in LEVELS:
         ks = jax.random.split(jax.random.PRNGKey(0), 3)
         q = jax.random.normal(ks[0], (BATCH, seq, heads, 64), dtype)
         k = jax.random.normal(ks[1], (BATCH, seq, heads, 64), dtype)
         v = jax.random.normal(ks[2], (BATCH, seq, heads, 64), dtype)
+
+        if null_ms is None:
+            null_ms = timeit_chained(
+                jax.jit(lambda q, k, v: q + 0.0), q, k, v, iters=ITERS) * 1e3
+            results["null_chain_ms"] = round(null_ms, 3)
 
         xla_f = jax.jit(lambda q, k, v: _xla_attention(q, k, v, scale))
         entry = {"xla_fwd_ms": round(timeit(xla_f, q, k, v), 3)}

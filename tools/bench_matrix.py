@@ -125,13 +125,15 @@ def main():
         flops = _flops(compiled)
         if flops:
             flops += max(scan_steps.get(variant, 1) - 1, 0) * model_flops
-        out = compiled(params, lq, rng)
-        jax.block_until_ready(out)
-        t0 = time.time()
-        for i in range(ITERS):
-            out = compiled(params, lq, jax.random.fold_in(rng, i))
-        sink = float(out.astype(jnp.float32).mean())  # forces materialization
-        dt = (time.time() - t0) / ITERS
+        # chained timing: independent re-dispatches do not serialize on the
+        # tunneled chip (edtr_tpu/utils/benchtime.py documents the
+        # measurements); feed lq through a zero scalar of the previous
+        # output so every iteration truly executes inside the timed window
+        from edtr_tpu.utils.benchtime import timeit_chained
+
+        dt = timeit_chained(
+            lambda p, x, r: compiled(p, x, r), params, lq, rng, iters=ITERS)
+        sink = float(compiled(params, lq, rng).astype(jnp.float32).mean())
         kind = jax.devices()[0].device_kind.lower()
         peak = 197e12 if ("v5 lite" in kind or "v5e" in kind) else (
             459e12 if "v5p" in kind else 275e12 if "v4" in kind else 197e12)
