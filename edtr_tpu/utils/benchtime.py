@@ -31,6 +31,28 @@ import jax.numpy as jnp
 
 __all__ = ["timeit_chained"]
 
+_warmed = False
+
+
+def _warm_tunnel():
+    """Absorb per-process cold-path costs before the first measurement.
+
+    The first chained executable timed in a fresh process reads far slower
+    than steady state (observed: the same 48-block SwinIR at 93 ms/img when
+    timed first vs 10.8 ms/img inside a warmed process). Run a throwaway
+    chained matmul loop once per process so no real reading is first.
+    """
+    global _warmed
+    if _warmed:
+        return
+    _warmed = True
+    f = jax.jit(lambda a: a @ a)
+    x = jnp.ones((1024, 1024), jnp.bfloat16)
+    out = f(x)
+    for _ in range(30):
+        out = f(x + (out.ravel()[0] * 0).astype(x.dtype))
+    float(out.ravel()[0].astype(jnp.float32))
+
 
 def _first_array(tree):
     for leaf in jax.tree.leaves(tree):
@@ -59,6 +81,7 @@ def timeit_chained(fn, *args, iters: int = 10) -> float:
     AOT-compiled executables both work) and at least one positional arg must
     be a floating-point ``jax.Array``.
     """
+    _warm_tunnel()
     out = fn(*args)
     a2 = _dep_args(args, out)
     out = fn(*a2)  # warm the dependency-op dispatch path

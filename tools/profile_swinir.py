@@ -57,6 +57,10 @@ def main():
             sf=8, upsampler="nearest+conv", unshuffle=True,
             unshuffle_scale=8, dtype=jnp.bfloat16)
         params = jax.jit(net.init)(jax.random.PRNGKey(1), x[:1])
+        # match the production path: bf16 weights (bench.py:156)
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            params)
         fn = jax.jit(lambda p, v: net.apply(p, v))
         results[name] = round(timeit(fn, params, x) / BATCH, 3)
 
@@ -69,22 +73,44 @@ def main():
     results["body48_extrapolated_ms_per_img"] = round(per_block * 48, 3)
 
     # --- primitive microbenches at the exact body shapes (per image) ---
+    # these kernels are sub-ms: repeat them inside ONE executable with a
+    # lax.scan whose carry chains output->input (per-dispatch tunnel
+    # latency would otherwise swamp the signal), then divide by the trip
+    # count. Same pattern as tools/bench_attention.py.
+    REP = 24
     lat = size // 8
     n_win = (lat // 8) ** 2
     bw, n, heads, d = BATCH * n_win, 64, 6, 30
     q = jax.random.normal(jax.random.PRNGKey(2), (bw, n, heads, d), jnp.bfloat16)
     bias = jax.random.normal(jax.random.PRNGKey(3), (1, heads, n, n), jnp.float32)
 
-    attn = jax.jit(lambda a, b, c: dot_product_attention(a, b, c, bias=bias))
-    results["window_attn_ms_per_img_x48"] = round(timeit(attn, q, q, q) * 48 / BATCH, 3)
+    def rep_attn(qq, kk, vv):
+        def body(c, _):
+            return dot_product_attention(c, kk, vv, bias=bias), None
+
+        out, _ = jax.lax.scan(body, qq, None, length=REP)
+        return out
+
+    attn = jax.jit(rep_attn)
+    results["window_attn_ms_per_img_x48"] = round(
+        timeit(attn, q, q, q) / REP * 48 / BATCH, 3)
 
     from edtr_tpu.models.layers import LayerNorm
 
     ln = LayerNorm()
     tok = jax.random.normal(jax.random.PRNGKey(4), (BATCH, lat * lat, 180), jnp.bfloat16)
     lnp = jax.jit(ln.init)(jax.random.PRNGKey(5), tok)
-    lfn = jax.jit(lambda p, v: ln.apply(p, v))
-    results["layernorm_ms_per_img_x96"] = round(timeit(lfn, lnp, tok) * 96 / BATCH, 3)
+
+    def rep_ln(p, v):
+        def body(c, _):
+            return ln.apply(p, c).astype(c.dtype), None
+
+        out, _ = jax.lax.scan(body, v, None, length=REP)
+        return out
+
+    lfn = jax.jit(rep_ln)
+    results["layernorm_ms_per_img_x96"] = round(
+        timeit(lfn, lnp, tok) / REP * 96 / BATCH, 3)
 
     print(json.dumps({"metric": "swinir stage profile", "batch": BATCH,
                       "size": size, **results}))
