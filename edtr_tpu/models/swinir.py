@@ -36,7 +36,7 @@ import numpy as np
 from flax import linen as nn
 
 from edtr_tpu.models.layers import LayerNorm, conv, dense
-from edtr_tpu.ops.attention import dot_product_attention
+from edtr_tpu.ops.window_attention import window_attention
 
 Dtype = Any
 
@@ -137,17 +137,16 @@ class WindowAttention(nn.Module):
         )
         idx = jnp.asarray(relative_position_index(self.win).reshape(-1))
         bias = jnp.take(table, idx, axis=0).reshape(n, n, self.num_heads)
-        bias = bias.transpose(2, 0, 1)[None]  # (1, H, n, n)
-        if mask is not None:
-            nw = mask.shape[0]
-            m = jnp.asarray(mask)[None, :, None]  # (1, nW, 1, n, n)
-            bias = bias[:, None] + m  # (1/nW broadcast, H, n, n)
-            bias = bias.reshape(-1, self.num_heads, n, n)
-            # rows repeat per batch: reshape q to (B/nW groups)
-            b_eff = bw // nw
-            bias = jnp.tile(bias, (b_eff, 1, 1, 1))
+        bias = bias.transpose(2, 0, 1)  # (H, n, n)
 
-        out = dot_product_attention(q, k, v, scale=d_head ** -0.5, bias=bias)
+        # fused Pallas path: per-window softmax(QKᵀ+bias[+mask])V entirely in
+        # VMEM — no (BW, H, n, n) logits in HBM and no mask tiling to the
+        # window batch (ops/window_attention.py; XLA broadcast fallback
+        # inside). The shift mask applies per window position, image-major.
+        out = window_attention(
+            q, k, v, bias,
+            mask=None if mask is None else jnp.asarray(mask),
+            scale=d_head ** -0.5)
         out = out.reshape(bw, n, c)
         return dense(self.dim, dtype=self.dtype, name="proj")(out)
 
