@@ -350,7 +350,7 @@ def _run_split(pipe, params, detnet, det_vars, prev0, c_txt, rng):
     # runtime overlap per-execution bubbles exactly like a serving pipeline
     # with >1 in-flight request (the monolith measured ~10 ms/img of
     # serial-chain bubble on the tunnel)
-    streams = max(1, int(os.environ.get("EDTR_BENCH_STREAMS", "2")))
+    streams = max(1, int(os.environ.get("EDTR_BENCH_STREAMS", "3")))
     outs = [chain(prev0, jax.random.fold_in(rng, 1000 + s))[0]
             for s in range(streams)]
     jax.block_until_ready(outs)

@@ -41,6 +41,25 @@ from edtr_tpu.models.resnet import ResNet, IMAGENET_MEAN, IMAGENET_STD
 from edtr_tpu.ops import boxes as box_ops
 from edtr_tpu.ops.roi_align import multiscale_roi_align
 
+# The RPN/box-head NMS vmaps materialize O(N²) IoU/suppression matrices per
+# (image, class/level): the box head alone is (B, C-1, 1000, 1000) fp32 —
+# 80 MB/image. Batches past this bound chunk the per-image map through
+# ``lax.map(batch_size=...)`` (identical semantics, sequential chunks):
+# bs16 under plain vmap crashed the v5e worker (OOM-kill through the
+# tunnel), bs8 is measured safe.
+_NMS_BATCH_CHUNK = 8
+
+
+def _map_images(fn, args):
+    """vmap up to the memory-safe batch; chunked lax.map beyond it.
+
+    ``args`` is a tuple of pytrees (the RPN site passes per-FPN-level lists),
+    all batched on the leading axis.
+    """
+    if jax.tree.leaves(args)[0].shape[0] <= _NMS_BATCH_CHUNK:
+        return jax.vmap(fn)(*args)
+    return jax.lax.map(lambda t: fn(*t), args, batch_size=_NMS_BATCH_CHUNK)
+
 Dtype = Any
 
 
@@ -530,8 +549,8 @@ class FasterRCNN(nn.Module):
             )
             return all_boxes[idx], all_scores[idx], kvalid
 
-        proposals, prop_scores, prop_valid = jax.vmap(per_image_proposals)(
-            objectness, pred_deltas
+        proposals, prop_scores, prop_valid = _map_images(
+            per_image_proposals, (objectness, pred_deltas)
         )
         # RPN proposals are detached in torch (RegionProposalNetwork.forward):
         # no box-head gradient flows back into the RPN through them.
@@ -740,7 +759,8 @@ class FasterRCNN(nn.Module):
                 valid=fvalid,
             )
 
-        return jax.vmap(one)(class_logits, box_deltas, proposals, prop_valid)
+        return _map_images(
+            one, (class_logits, box_deltas, proposals, prop_valid))
 
 
 def optax_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:

@@ -34,7 +34,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Q_BLOCK = 512
-KV_BLOCK = 512
+# 1024-wide KV passes measured fastest at the ds=1 level (tools/
+# sweep_flash_blocks.py: 3.35 ms vs 3.53 at 512/512 for (8,4096,5,64));
+# wider KV amortizes the online-softmax rescale per pass. The d=64
+# contraction caps the MXU near 50% either way — block size is not the
+# remaining limiter.
+KV_BLOCK = 1024
 NEG_INF = -1e30
 
 # below this length a WHOLE-SEQUENCE VMEM kernel replaces the blockwise one:

@@ -146,3 +146,35 @@ def test_chunked_nms_equals_naive_greedy():
                                      jnp.asarray(valid), chunk=64))
         ref = naive(boxes, scores, valid, t)
         np.testing.assert_array_equal(ours, ref, err_msg=f"t={t}")
+
+
+def test_map_images_chunked_matches_vmap():
+    """_map_images must be a drop-in for jax.vmap past the memory chunk.
+
+    The chunked ``lax.map(batch_size=...)`` path only engages at batch >
+    _NMS_BATCH_CHUNK on the real model (bs16 serving); here we force it with
+    a small chunk and check exact equality against vmap, including a
+    non-divisible batch and a pytree (dict) output.
+    """
+    import edtr_tpu.models.faster_rcnn as frcnn
+
+    def fn(x, y):
+        # x is a per-level list, like the RPN's objectness/deltas pytrees
+        return {"a": x[0] * 2.0 + y.sum() + x[1].sum(),
+                "b": (x[0][:1], jnp.argmax(y))}
+
+    g = np.random.default_rng(3)
+    x = [jnp.asarray(g.random((5, 7)), jnp.float32),
+         jnp.asarray(g.random((5, 2)), jnp.float32)]
+    y = jnp.asarray(g.random((5, 4)), jnp.float32)
+
+    want = jax.vmap(fn)(x, y)
+    old = frcnn._NMS_BATCH_CHUNK
+    try:
+        frcnn._NMS_BATCH_CHUNK = 2  # force the chunked path, 5 % 2 != 0
+        got = frcnn._map_images(fn, (x, y))
+    finally:
+        frcnn._NMS_BATCH_CHUNK = old
+
+    for w, g_ in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_allclose(w, g_, rtol=0, atol=0)
