@@ -36,6 +36,7 @@ import numpy as np
 from flax import linen as nn
 
 from edtr_tpu.models.layers import LayerNorm, conv, dense
+from edtr_tpu.ops import swin_block
 from edtr_tpu.ops.window_attention import window_attention
 
 Dtype = Any
@@ -163,19 +164,124 @@ class Mlp(nn.Module):
         return dense(self.out, dtype=self.dtype, name="fc2")(x)
 
 
+# --- param holders for the fused path -------------------------------------
+# The fused kernels (ops/swin_block.py) consume raw weight arrays; these
+# declare EXACTLY the same param tree (names, shapes, initializers) as the
+# module path above, so checkpoints/converters are path-identical whichever
+# path runs.
+
+
+class _DenseParams(nn.Module):
+    in_f: int
+    out_f: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_f, self.out_f), jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros, (self.out_f,),
+                        jnp.float32) if self.use_bias
+             else jnp.zeros((self.out_f,), jnp.float32))
+        return k, b
+
+
+class _LNParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32),
+                self.param("bias", nn.initializers.zeros, (self.dim,),
+                           jnp.float32))
+
+
+class _AttnParams(nn.Module):
+    dim: int
+    win: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        qkv = _DenseParams(self.dim, self.dim * 3, self.qkv_bias,
+                           name="qkv")()
+        table = self.param(
+            "relative_position_bias_table", nn.initializers.normal(0.02),
+            ((2 * self.win - 1) ** 2, self.num_heads), jnp.float32)
+        proj = _DenseParams(self.dim, self.dim, True, name="proj")()
+        return qkv, table, proj
+
+
+class _MlpParams(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        fc1 = _DenseParams(self.dim, self.hidden, True, name="fc1")()
+        fc2 = _DenseParams(self.hidden, self.dim, True, name="fc2")()
+        return fc1, fc2
+
+
 class SwinTransformerBlock(nn.Module):
+    """One Swin block; ``fused=True`` runs the Pallas-fused halves.
+
+    Fused contract (ops/swin_block.py): the input arrives rolled by
+    ``in_offset`` and the output is returned rolled by this block's
+    ``shift`` — per-token ops commute with the cyclic roll, so the unroll
+    is deferred to the RSTB's end (one roll per 6 blocks instead of two
+    per shifted block, and ``swin_post`` stays row-slab parallel).
+    """
+
     dim: int
     num_heads: int
     win: int
     shift: int
     mlp_ratio: float = 2.0
     dtype: Optional[Dtype] = None
+    fused: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, x_size: Tuple[int, int]) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, x_size: Tuple[int, int], in_offset: int = 0
+    ) -> jnp.ndarray:
         h, w = x_size
         b, n, c = x.shape
         shift = self.shift if min(h, w) > self.win else 0
+
+        if self.fused and swin_block.supported(h, w, self.win):
+            (qkv_k, qkv_b), table, (proj_k, proj_b) = _AttnParams(
+                dim=self.dim, win=self.win, num_heads=self.num_heads,
+                name="attn")()
+            ln1_s, ln1_b = _LNParams(c, name="norm1")()
+            ln2_s, ln2_b = _LNParams(c, name="norm2")()
+            (fc1_k, fc1_b), (fc2_k, fc2_b) = _MlpParams(
+                c, int(self.dim * self.mlp_ratio), name="mlp")()
+
+            xc = x.astype(self.dtype or x.dtype)
+            qkv_w, xr = swin_block.swin_pre(
+                xc, ln1_s, ln1_b, qkv_k, qkv_b, h, w, self.win,
+                shift - in_offset)
+            nw = qkv_w.shape[1]
+            d_head = self.dim // self.num_heads
+            qkv = qkv_w.reshape(b * nw, self.win * self.win, 3,
+                                self.num_heads, d_head)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            idx = jnp.asarray(relative_position_index(self.win).reshape(-1))
+            bias = jnp.take(table, idx, axis=0)
+            bias = bias.reshape(self.win ** 2, self.win ** 2,
+                                self.num_heads).transpose(2, 0, 1)
+            mask = shift_attention_mask(h, w, self.win, shift)
+            out = window_attention(
+                q, k, v, bias,
+                mask=None if mask is None else jnp.asarray(mask),
+                scale=d_head ** -0.5)
+            attn = out.reshape(b, nw, self.win * self.win, c)
+            return swin_block.swin_post(
+                attn, xr, proj_k, proj_b, ln2_s, ln2_b,
+                fc1_k, fc1_b, fc2_k, fc2_b, h, w, self.win)
 
         shortcut = x
         x = LayerNorm(name="norm1")(x).reshape(b, h, w, c)
@@ -207,20 +313,28 @@ class RSTB(nn.Module):
     win: int
     mlp_ratio: float = 2.0
     dtype: Optional[Dtype] = None
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, x_size: Tuple[int, int]) -> jnp.ndarray:
         h, w = x_size
+        use_fused = self.fused and swin_block.supported(h, w, self.win)
         res = x
+        off = 0
         for j in range(self.depth):
             x = SwinTransformerBlock(
                 dim=self.dim, num_heads=self.num_heads, win=self.win,
                 shift=0 if j % 2 == 0 else self.win // 2,
                 mlp_ratio=self.mlp_ratio, dtype=self.dtype,
-                name=f"blocks_{j}",
-            )(x, x_size)
+                fused=use_fused, name=f"blocks_{j}",
+            )(x, x_size, in_offset=off)
+            if use_fused:
+                off = ((self.win // 2 if j % 2 else 0)
+                       if min(h, w) > self.win else 0)
         b, n, c = x.shape
         x = x.reshape(b, h, w, c)
+        if off:  # undo the deferred cyclic shift of the last fused block
+            x = jnp.roll(x, (off, off), axis=(1, 2))
         x = conv(self.dim, 3, padding=1, dtype=self.dtype, name="conv")(x)
         return x.reshape(b, n, c) + res
 
@@ -243,6 +357,7 @@ class SwinIR(nn.Module):
     unshuffle: bool = False
     unshuffle_scale: Optional[int] = None
     dtype: Optional[Dtype] = None
+    fused: bool = True  # Pallas-fused swin blocks (ops/swin_block.py)
     # accepted-but-unused reference knobs (parity of constructor surface)
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
@@ -291,7 +406,7 @@ class SwinIR(nn.Module):
             t = RSTB(
                 dim=self.embed_dim, depth=depth, num_heads=self.num_heads[i],
                 win=self.window_size, mlp_ratio=self.mlp_ratio,
-                dtype=self.dtype, name=f"layers_{i}",
+                dtype=self.dtype, fused=self.fused, name=f"layers_{i}",
             )(t, x_size)
         t = LayerNorm(name="norm")(t)
         deep = t.reshape(b, h, w, c)
