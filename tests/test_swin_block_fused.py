@@ -119,3 +119,29 @@ def test_post_kernel_interpret_matches_ref(use_win_rows, monkeypatch):
     monkeypatch.setattr(swin_block, "_FORCE_KERNEL", True)
     got = swin_block.swin_post(attn, xr, *ws, h, w, win)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_kernels_interpret_nonsquare(monkeypatch):
+    """Demo tiling produces non-square token maps (pad to 64-multiples)."""
+    h, w, win, c, heads = 16, 24, 8, 12, 2
+    nw = (h // win) * (w // win)
+    g = np.random.default_rng(3)
+    x = jnp.asarray(g.standard_normal((1, h * w, c)), jnp.float32)
+    ln = [jnp.asarray(g.standard_normal(c), jnp.float32) for _ in range(2)]
+    wqkv = jnp.asarray(g.standard_normal((c, 3 * c)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(g.standard_normal(3 * c), jnp.float32)
+    ref = swin_block._pre_ref(x, *ln, wqkv, bqkv, h, w, win, 4)
+    monkeypatch.setattr(swin_block, "_FORCE_KERNEL", True)
+    got = swin_block.swin_pre(x, *ln, wqkv, bqkv, h, w, win, 4)
+    for r, o in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-5)
+
+    attn = jnp.asarray(g.standard_normal((1, nw, win * win, c)), jnp.float32)
+    xr = jnp.asarray(g.standard_normal((1, h * w, c)), jnp.float32)
+    ws = [jnp.asarray(g.standard_normal(s) * 0.1, jnp.float32)
+          for s in [(c, c), (c,), (c,), (c,), (c, 24), (24,), (24, c), (c,)]]
+    monkeypatch.setattr(swin_block, "_FORCE_KERNEL", False)
+    ref2 = swin_block._post_ref(attn, xr, *ws, h, w, win)
+    monkeypatch.setattr(swin_block, "_FORCE_KERNEL", True)
+    got2 = swin_block.swin_post(attn, xr, *ws, h, w, win)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=1e-5)
