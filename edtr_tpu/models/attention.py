@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from edtr_tpu.models.layers import LayerNorm, GroupNorm32, conv, dense
+from edtr_tpu.ops import geglu
 from edtr_tpu.ops.attention import dot_product_attention
 
 Dtype = Any
@@ -61,6 +62,21 @@ class CrossAttention(nn.Module):
         return dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
 
+class _GegluProjParams(nn.Module):
+    """Declares the same leaves as ``dense(..., name='proj')`` so the fused
+    GEGLU path keeps the param tree byte-identical to the module path."""
+
+    in_f: int
+    out_f: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (self.in_f, self.out_f), jnp.float32),
+                self.param("bias", nn.initializers.zeros, (self.out_f,),
+                           jnp.float32))
+
+
 class FeedForward(nn.Module):
     """GEGLU feedforward (``glu=True`` path, the only one configs use)."""
 
@@ -71,10 +87,19 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = int(self.dim * self.mult)
-        proj = dense(inner * 2, dtype=self.dtype, name="proj")(x)
-        h, gate = jnp.split(proj, 2, axis=-1)
-        # torch F.gelu is the exact (erf) formulation
-        h = h * jax.nn.gelu(gate, approximate=False)
+        if geglu.supported(x.shape[1], inner):
+            # fused Pallas projection: the 2*inner intermediate never
+            # touches HBM (ops/geglu.py). Param tree identical to the
+            # dense path below (name-matched holder).
+            k = _GegluProjParams(self.dim, inner * 2, name="proj")()
+            h = geglu.geglu_proj(
+                x.astype(self.dtype or x.dtype),
+                k[0][:, :inner], k[0][:, inner:], k[1][:inner], k[1][inner:])
+        else:
+            proj = dense(inner * 2, dtype=self.dtype, name="proj")(x)
+            h, gate = jnp.split(proj, 2, axis=-1)
+            # torch F.gelu is the exact (erf) formulation
+            h = h * jax.nn.gelu(gate, approximate=False)
         return dense(self.dim, dtype=self.dtype, name="out")(h)
 
 

@@ -1,0 +1,122 @@
+"""Fused GEGLU projection for the UNet transformer feed-forward (Pallas).
+
+The LDM FeedForward (reference ``model/attention.py:20-33``) projects
+(B, N, C) to 2·4C, splits, and multiplies ``h * gelu(gate)`` before the
+down-projection. XLA materializes the full 2·4C intermediate in HBM
+(write + read) plus the 4C product (write): at the flagship level shapes
+(seq 4096×C320 / 1024×640 / 256×1280, bs8) that's ~40-170 MB of pure
+intermediate traffic per FF call inside the denoise scan.
+
+This kernel computes both column halves tile-by-tile in VMEM and writes
+only the (B, N, 4C) product: traffic drops to x-read + weight-read +
+product-write. The weights arrive pre-split (``wh``/``wg`` — the halves of
+the packed ``proj`` kernel), so each grid cell contracts the SAME x tile
+against matching column blocks of both halves.
+
+Backward is XLA recompute via ``jax.custom_vjp`` over the reference math
+(the EDTR train step differentiates through the UNet decoder half); CPU
+dispatches to the reference directly. GELU is exact (erf), matching torch
+``F.gelu``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# test hook: force the Pallas path (interpret mode off-TPU)
+_FORCE_KERNEL = False
+
+_SEQ_TILE = 256
+# 1280 divides every flagship inner dim (4C = 1280/2560/5120) and keeps the
+# (C, cc) weight block + (TS, cc) f32 accumulator well under VMEM
+_COL_TILE = 1280
+
+
+def _use_kernel() -> bool:
+    return _FORCE_KERNEL or jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _col_tile(inner: int) -> int:
+    return inner if inner <= _COL_TILE else _COL_TILE
+
+
+def supported(seq: int, inner: int) -> bool:
+    return seq % _SEQ_TILE == 0 and inner % _col_tile(inner) == 0
+
+
+def _kernel(x_ref, wh_ref, wg_ref, bh_ref, bg_ref, o_ref):
+    x = x_ref[0]  # (TS, C)
+    a = jnp.dot(x, wh_ref[...], preferred_element_type=jnp.float32)
+    a = a + bh_ref[...].astype(jnp.float32)
+    g = jnp.dot(x, wg_ref[...], preferred_element_type=jnp.float32)
+    g = g + bg_ref[...].astype(jnp.float32)
+    o_ref[0] = (a * jax.nn.gelu(g, approximate=False)).astype(o_ref.dtype)
+
+
+def _ref(x, wh, wg, bh, bg):
+    cdtype = x.dtype
+    a = jnp.dot(x, wh.astype(cdtype), preferred_element_type=jnp.float32)
+    a = a + bh.astype(jnp.float32)
+    g = jnp.dot(x, wg.astype(cdtype), preferred_element_type=jnp.float32)
+    g = g + bg.astype(jnp.float32)
+    return (a * jax.nn.gelu(g, approximate=False)).astype(cdtype)
+
+
+@jax.custom_vjp
+def geglu_proj(x, wh, wg, bh, bg):
+    """``h * gelu(gate)`` where ``h = x@wh + bh``, ``gate = x@wg + bg``.
+
+    Args:
+      x: (B, N, C) tokens in compute dtype.
+      wh/wg: (C, inner) fp32 halves of the packed GEGLU ``proj`` kernel
+        (cast to x.dtype for the GEMMs). bh/bg: (inner,) fp32.
+    Returns:
+      (B, N, inner) in x.dtype.
+    """
+    b, n, c = x.shape
+    inner = wh.shape[-1]
+    if not (_use_kernel() and supported(n, inner)):
+        return _ref(x, wh, wg, bh, bg)
+    cdtype = x.dtype
+    ts = _SEQ_TILE
+    cc = _col_tile(inner)
+    grid = (b, n // ts, inner // cc)
+    w_spec = pl.BlockSpec((c, cc), lambda i, s, j: (0, j),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((1, cc), lambda i, s, j: (0, j),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ts, c), lambda i, s, j: (i, s, 0),
+                         memory_space=pltpu.VMEM),
+            w_spec, w_spec, b_spec, b_spec,
+        ],
+        out_specs=pl.BlockSpec((1, ts, cc), lambda i, s, j: (i, s, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, inner), cdtype),
+        interpret=_interpret(),
+    )(x, wh.astype(cdtype), wg.astype(cdtype),
+      bh.reshape(1, inner), bg.reshape(1, inner))
+
+
+def _fwd(x, wh, wg, bh, bg):
+    return geglu_proj(x, wh, wg, bh, bg), (x, wh, wg, bh, bg)
+
+
+def _bwd(res, g):
+    _, vjp = jax.vjp(_ref, *res)
+    return vjp(g)
+
+
+geglu_proj.defvjp(_fwd, _bwd)
