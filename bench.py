@@ -142,6 +142,12 @@ def main() -> None:
     if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    # fail-safe: a Mosaic regression in the optional fused kernels must
+    # degrade to the XLA reference paths, never crash the bench
+    from edtr_tpu.ops.kernel_probe import ensure_fused_kernels_usable
+
+    ensure_fused_kernels_usable()
+
     import jax.numpy as jnp
 
     import __graft_entry__ as G

@@ -38,6 +38,10 @@ _COL_TILE = 1280
 
 
 def _use_kernel() -> bool:
+    import os
+
+    if os.environ.get("EDTR_GEGLU_FUSED", "1") == "0":  # kill-switch
+        return False
     return _FORCE_KERNEL or jax.default_backend() == "tpu"
 
 

@@ -53,6 +53,10 @@ _FORCE_KERNEL = False
 
 
 def _use_kernel() -> bool:
+    import os
+
+    if os.environ.get("EDTR_SWIN_FUSED", "1") == "0":  # kill-switch
+        return False
     return _FORCE_KERNEL or jax.default_backend() == "tpu"
 
 
