@@ -27,14 +27,46 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from edtr_tpu.models.layers import LayerNorm, GroupNorm32, conv, dense
-from edtr_tpu.ops import geglu
+from edtr_tpu.ops import geglu, ln_matmul
 from edtr_tpu.ops.attention import dot_product_attention
 
 Dtype = Any
 
 
+class _DenseKernel(nn.Module):
+    """Declares the single ``kernel`` leaf of a bias-free dense layer so
+    the fused LN+GEMM paths keep the param tree byte-identical."""
+
+    in_f: int
+    out_f: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.in_f, self.out_f), jnp.float32)
+
+
+class _LNParams(nn.Module):
+    """LayerNorm's ``scale``/``bias`` leaves (fused paths apply the math)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32),
+                self.param("bias", nn.initializers.zeros, (self.dim,),
+                           jnp.float32))
+
+
 class CrossAttention(nn.Module):
-    """Multi-head attention; self-attention when ``context`` is None."""
+    """Multi-head attention; self-attention when ``context`` is None.
+
+    ``pre_norm=(scale, bias)`` means ``x`` is the PRE-LayerNorm residual
+    stream: the norm is fused into the q/k/v projections
+    (ops/ln_matmul.py) so the normalized tokens never touch HBM. The
+    caller (BasicTransformerBlock) owns the norm params.
+    """
 
     query_dim: int
     context_dim: Optional[int] = None
@@ -44,13 +76,32 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        pre_norm=None,
     ) -> jnp.ndarray:
         inner_dim = self.heads * self.dim_head
-        ctx = x if context is None else context
-        q = dense(inner_dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = dense(inner_dim, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = dense(inner_dim, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        if pre_norm is not None:
+            s, bb = pre_norm
+            xc = x.astype(self.dtype or x.dtype)
+            if context is None:
+                wq = _DenseKernel(self.query_dim, inner_dim, name="to_q")()
+                wk = _DenseKernel(self.query_dim, inner_dim, name="to_k")()
+                wv = _DenseKernel(self.query_dim, inner_dim, name="to_v")()
+                q, k, v = ln_matmul.ln_matmuls(xc, s, bb, wq, wk, wv)
+            else:
+                wq = _DenseKernel(self.query_dim, inner_dim, name="to_q")()
+                (q,) = ln_matmul.ln_matmuls(xc, s, bb, wq)
+                k = dense(inner_dim, use_bias=False, dtype=self.dtype,
+                          name="to_k")(context)
+                v = dense(inner_dim, use_bias=False, dtype=self.dtype,
+                          name="to_v")(context)
+        else:
+            ctx = x if context is None else context
+            q = dense(inner_dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            k = dense(inner_dim, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+            v = dense(inner_dim, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
 
         b, n, _ = q.shape
         m = k.shape[1]
@@ -85,16 +136,21 @@ class FeedForward(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, pre_norm=None) -> jnp.ndarray:
         inner = int(self.dim * self.mult)
-        if geglu.supported(x.shape[1], inner):
+        if pre_norm is not None or geglu.supported(x.shape[1], inner):
             # fused Pallas projection: the 2*inner intermediate never
-            # touches HBM (ops/geglu.py). Param tree identical to the
-            # dense path below (name-matched holder).
-            k = _GegluProjParams(self.dim, inner * 2, name="proj")()
-            h = geglu.geglu_proj(
-                x.astype(self.dtype or x.dtype),
-                k[0][:, :inner], k[0][:, inner:], k[1][:inner], k[1][inner:])
+            # touches HBM (ops/geglu.py; XLA reference fallback inside).
+            # Param tree identical to the dense path below. pre_norm
+            # additionally absorbs the block's norm3 (exact-gelu + torch
+            # LN semantics either way).
+            k, b = _GegluProjParams(self.dim, inner * 2, name="proj")()
+            xc = x.astype(self.dtype or x.dtype)
+            halves = (k[:, :inner], k[:, inner:], b[:inner], b[inner:])
+            if pre_norm is not None:
+                h = geglu.ln_geglu_proj(xc, pre_norm[0], pre_norm[1], *halves)
+            else:
+                h = geglu.geglu_proj(xc, *halves)
         else:
             proj = dense(inner * 2, dtype=self.dtype, name="proj")(x)
             h, gate = jnp.split(proj, 2, axis=-1)
@@ -115,7 +171,10 @@ class BasicTransformerBlock(nn.Module):
     def __call__(
         self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
-        h = LayerNorm(name="norm1")(x)
+        # norms are declared here (torch tree: norm1/2/3) but applied
+        # INSIDE the fused LN+GEMM ops — the normalized token tensors
+        # never round-trip HBM (reference fallbacks inside the ops).
+        ln1 = _LNParams(self.dim, name="norm1")()
         x = x + CrossAttention(
             query_dim=self.dim,
             context_dim=self.context_dim if self.disable_self_attn else None,
@@ -123,8 +182,9 @@ class BasicTransformerBlock(nn.Module):
             dim_head=self.d_head,
             dtype=self.dtype,
             name="attn1",
-        )(h, context=context if self.disable_self_attn else None)
-        h = LayerNorm(name="norm2")(x)
+        )(x, context=context if self.disable_self_attn else None,
+          pre_norm=ln1)
+        ln2 = _LNParams(self.dim, name="norm2")()
         x = x + CrossAttention(
             query_dim=self.dim,
             context_dim=self.context_dim,
@@ -132,9 +192,10 @@ class BasicTransformerBlock(nn.Module):
             dim_head=self.d_head,
             dtype=self.dtype,
             name="attn2",
-        )(h, context=context)
-        h = LayerNorm(name="norm3")(x)
-        x = x + FeedForward(dim=self.dim, dtype=self.dtype, name="ff")(h)
+        )(x, context=context, pre_norm=ln2)
+        ln3 = _LNParams(self.dim, name="norm3")()
+        x = x + FeedForward(dim=self.dim, dtype=self.dtype, name="ff")(
+            x, pre_norm=ln3)
         return x
 
 

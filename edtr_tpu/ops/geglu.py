@@ -57,13 +57,30 @@ def supported(seq: int, inner: int) -> bool:
     return seq % _SEQ_TILE == 0 and inner % _col_tile(inner) == 0
 
 
-def _kernel(x_ref, wh_ref, wg_ref, bh_ref, bg_ref, o_ref):
-    x = x_ref[0]  # (TS, C)
+def _ln_f32(x, scale, bias, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    d = xf - mean
+    var = jnp.mean(d * d, axis=-1, keepdims=True)
+    return (d * jax.lax.rsqrt(var + eps)) * scale + bias
+
+
+def _geglu_tile(x, wh_ref, wg_ref, bh_ref, bg_ref, out_dtype):
     a = jnp.dot(x, wh_ref[...], preferred_element_type=jnp.float32)
     a = a + bh_ref[...].astype(jnp.float32)
     g = jnp.dot(x, wg_ref[...], preferred_element_type=jnp.float32)
     g = g + bg_ref[...].astype(jnp.float32)
-    o_ref[0] = (a * jax.nn.gelu(g, approximate=False)).astype(o_ref.dtype)
+    return (a * jax.nn.gelu(g, approximate=False)).astype(out_dtype)
+
+
+def _kernel(x_ref, wh_ref, wg_ref, bh_ref, bg_ref, o_ref):
+    o_ref[0] = _geglu_tile(x_ref[0], wh_ref, wg_ref, bh_ref, bg_ref,
+                           o_ref.dtype)
+
+
+def _ln_kernel(x_ref, s_ref, b_ref, wh_ref, wg_ref, bh_ref, bg_ref, o_ref):
+    xln = _ln_f32(x_ref[0], s_ref[...], b_ref[...]).astype(x_ref.dtype)
+    o_ref[0] = _geglu_tile(xln, wh_ref, wg_ref, bh_ref, bg_ref, o_ref.dtype)
 
 
 def _ref(x, wh, wg, bh, bg):
@@ -124,3 +141,57 @@ def _bwd(res, g):
 
 
 geglu_proj.defvjp(_fwd, _bwd)
+
+
+def _ln_ref(x, ln_s, ln_b, wh, wg, bh, bg):
+    return _ref(_ln_f32(x, ln_s, ln_b).astype(x.dtype), wh, wg, bh, bg)
+
+
+@jax.custom_vjp
+def ln_geglu_proj(x, ln_s, ln_b, wh, wg, bh, bg):
+    """:func:`geglu_proj` with the block's norm3 LayerNorm absorbed.
+
+    ``x`` is the PRE-norm residual stream; the normalized tokens never
+    touch HBM (LN is row-local, recomputed per column chunk).
+    """
+    b, n, c = x.shape
+    inner = wh.shape[-1]
+    if not (_use_kernel() and supported(n, inner)):
+        return _ln_ref(x, ln_s, ln_b, wh, wg, bh, bg)
+    cdtype = x.dtype
+    ts = _SEQ_TILE
+    cc = _col_tile(inner)
+    grid = (b, n // ts, inner // cc)
+    w_spec = pl.BlockSpec((c, cc), lambda i, s, j: (0, j),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((1, cc), lambda i, s, j: (0, j),
+                          memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _ln_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ts, c), lambda i, s, j: (i, s, 0),
+                         memory_space=pltpu.VMEM),
+            full, full, w_spec, w_spec, b_spec, b_spec,
+        ],
+        out_specs=pl.BlockSpec((1, ts, cc), lambda i, s, j: (i, s, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, inner), cdtype),
+        interpret=_interpret(),
+    )(x, ln_s.reshape(1, c), ln_b.reshape(1, c),
+      wh.astype(cdtype), wg.astype(cdtype),
+      bh.reshape(1, inner), bg.reshape(1, inner))
+
+
+def _ln_fwd(x, ln_s, ln_b, wh, wg, bh, bg):
+    return ln_geglu_proj(x, ln_s, ln_b, wh, wg, bh, bg), (
+        x, ln_s, ln_b, wh, wg, bh, bg)
+
+
+def _ln_bwd(res, g):
+    _, vjp = jax.vjp(_ln_ref, *res)
+    return vjp(g)
+
+
+ln_geglu_proj.defvjp(_ln_fwd, _ln_bwd)

@@ -30,13 +30,14 @@ def ensure_fused_kernels_usable() -> dict:
     import jax
     import jax.numpy as jnp
 
-    result = {"swin_block": True, "geglu": True}
+    result = {"swin_block": True, "geglu": True, "ln_matmul": True}
     if jax.default_backend() != "tpu":
         return result
     if _PROBED:
         return {
             "swin_block": os.environ.get("EDTR_SWIN_FUSED", "1") != "0",
             "geglu": os.environ.get("EDTR_GEGLU_FUSED", "1") != "0",
+            "ln_matmul": os.environ.get("EDTR_LNMM_FUSED", "1") != "0",
         }
     _PROBED = True
 
@@ -66,10 +67,27 @@ def ensure_fused_kernels_usable() -> dict:
         xg = jnp.ones((1, geglu._SEQ_TILE, c), jnp.bfloat16)
         wg = jnp.ones((c, 4 * c), jnp.float32) * 0.01
         bg = jnp.zeros((4 * c,))
+        sg = jnp.ones((c,), jnp.float32)
         jax.block_until_ready(
             jax.jit(geglu.geglu_proj)(xg, wg, wg, bg, bg))
+        jax.block_until_ready(
+            jax.jit(geglu.ln_geglu_proj)(xg, sg, 0 * sg, wg, wg, bg, bg))
     except Exception as e:  # pragma: no cover - device-specific
         os.environ["EDTR_GEGLU_FUSED"] = "0"
         result["geglu"] = False
         print(f"[kernel_probe] fused geglu disabled: {type(e).__name__}")
+
+    from edtr_tpu.ops import ln_matmul
+
+    result["ln_matmul"] = True
+    try:
+        xl = jnp.ones((1, ln_matmul._SEQ_TILE, c), jnp.bfloat16)
+        sl = jnp.ones((c,), jnp.float32)
+        wl = jnp.ones((c, c), jnp.float32) * 0.01
+        jax.block_until_ready(jax.jit(
+            lambda *a: ln_matmul.ln_matmuls(*a))(xl, sl, 0 * sl, wl, wl, wl))
+    except Exception as e:  # pragma: no cover - device-specific
+        os.environ["EDTR_LNMM_FUSED"] = "0"
+        result["ln_matmul"] = False
+        print(f"[kernel_probe] fused ln_matmul disabled: {type(e).__name__}")
     return result

@@ -1,0 +1,140 @@
+"""Fused LayerNorm + projection GEMMs for transformer blocks (Pallas).
+
+Every BasicTransformerBlock op sequence starts ``LayerNorm(x) @ W...``:
+norm1 feeds the self-attention q/k/v projections (three GEMMs over the
+same normalized tokens), norm2 feeds the cross-attention query. XLA
+materializes the normalized tensor in HBM between the reduction and the
+GEMMs (w+r of the full token tensor per LN — the same pathology measured
+at ~7x off roofline for SwinIR's LayerNorms before ops/swin_block.py).
+
+``ln_matmuls`` normalizes each (TS, C) row tile in VMEM and contracts it
+against K weight matrices in one kernel — the normalized tokens never
+touch HBM. The LN is recomputed per output-column chunk (VPU work, free
+next to the MXU dots).
+
+Backward is XLA recompute via ``jax.custom_vjp`` over the reference math
+(the EDTR train step differentiates through the UNet decoder half); CPU
+dispatches to the reference. Matches torch LayerNorm semantics (fp32
+stats, eps 1e-5) and bias-free projections (CrossAttention's to_q/k/v,
+``model/attention.py:60-66``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# test hook: force the Pallas path (interpret mode off-TPU)
+_FORCE_KERNEL = False
+
+_SEQ_TILE = 256
+_MAX_OUT_TILE = 640
+
+
+def _use_kernel() -> bool:
+    import os
+
+    if os.environ.get("EDTR_LNMM_FUSED", "1") == "0":  # kill-switch
+        return False
+    return _FORCE_KERNEL or jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _out_tile(o: int) -> int:
+    if o <= _MAX_OUT_TILE:
+        return o
+    for t in range(_MAX_OUT_TILE, 0, -1):
+        if o % t == 0:
+            return t
+    return o  # pragma: no cover
+
+
+def supported(seq: int) -> bool:
+    return seq % _SEQ_TILE == 0
+
+
+def _ln_f32(x, scale, bias, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    d = xf - mean
+    var = jnp.mean(d * d, axis=-1, keepdims=True)
+    return (d * jax.lax.rsqrt(var + eps)) * scale + bias
+
+
+def _kernel(x_ref, s_ref, b_ref, *rest, n_w):
+    w_refs, o_refs = rest[:n_w], rest[n_w:]
+    xln = _ln_f32(x_ref[0], s_ref[...], b_ref[...]).astype(x_ref.dtype)
+    for w_ref, o_ref in zip(w_refs, o_refs):
+        o_ref[0] = jnp.dot(
+            xln, w_ref[...], preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def _ref(x, ln_s, ln_b, *ws):
+    cdtype = x.dtype
+    xln = _ln_f32(x, ln_s, ln_b).astype(cdtype)
+    return tuple(
+        jnp.dot(xln, w.astype(cdtype),
+                preferred_element_type=jnp.float32).astype(cdtype)
+        for w in ws)
+
+
+@jax.custom_vjp
+def ln_matmuls(x, ln_s, ln_b, *ws):
+    """``tuple(LN(x) @ w for w in ws)`` with the LN kept in VMEM.
+
+    Args:
+      x: (B, N, C) tokens in compute dtype.
+      ln_s/ln_b: (C,) fp32 LayerNorm affine (torch semantics, eps 1e-5).
+      ws: K fp32 weight matrices, each (C, O) with the SAME O
+        (cast to x.dtype for the GEMMs; projections are bias-free).
+    Returns:
+      K arrays (B, N, O) in x.dtype.
+    """
+    b, n, c = x.shape
+    o = ws[0].shape[-1]
+    if not (_use_kernel() and supported(n)
+            and all(w.shape == (c, o) for w in ws)):
+        return _ref(x, ln_s, ln_b, *ws)
+    cdtype = x.dtype
+    ts = _SEQ_TILE
+    oc = _out_tile(o)
+    grid = (b, n // ts, o // oc)
+    w_spec = pl.BlockSpec((c, oc), lambda i, s, j: (0, j),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, ts, oc), lambda i, s, j: (i, s, j),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_kernel, n_w=len(ws)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ts, c), lambda i, s, j: (i, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + [w_spec] * len(ws),
+        out_specs=[out_spec] * len(ws),
+        out_shape=[jax.ShapeDtypeStruct((b, n, o), cdtype)] * len(ws),
+        interpret=_interpret(),
+    )(x, ln_s.reshape(1, c), ln_b.reshape(1, c),
+      *[w.astype(cdtype) for w in ws])
+    return tuple(outs)
+
+
+def _fwd(x, ln_s, ln_b, *ws):
+    return ln_matmuls(x, ln_s, ln_b, *ws), (x, ln_s, ln_b) + ws
+
+
+def _bwd(res, g):
+    _, vjp = jax.vjp(_ref, *res)
+    return vjp(g)
+
+
+ln_matmuls.defvjp(_fwd, _bwd)
