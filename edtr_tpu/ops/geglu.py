@@ -127,6 +127,13 @@ def geglu_proj(x, wh, wg, bh, bg):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, inner), cdtype),
         interpret=_interpret(),
+        # declare the two GEMMs' flops for XLA cost analysis (bench MFU)
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * n * c * inner,
+            bytes_accessed=2 * (b * n * (c * (inner // cc) + inner)
+                                + 2 * c * inner),
+            transcendentals=b * n * inner,
+        ),
     )(x, wh.astype(cdtype), wg.astype(cdtype),
       bh.reshape(1, inner), bg.reshape(1, inner))
 
@@ -179,6 +186,12 @@ def ln_geglu_proj(x, ln_s, ln_b, wh, wg, bh, bg):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, inner), cdtype),
         interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * n * c * inner,
+            bytes_accessed=2 * (b * n * (c * (inner // cc) + inner)
+                                + 2 * c * inner),
+            transcendentals=b * n * inner,
+        ),
     )(x, ln_s.reshape(1, c), ln_b.reshape(1, c),
       wh.astype(cdtype), wg.astype(cdtype),
       bh.reshape(1, inner), bg.reshape(1, inner))

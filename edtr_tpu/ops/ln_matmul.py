@@ -123,6 +123,13 @@ def ln_matmuls(x, ln_s, ln_b, *ws):
         out_specs=[out_spec] * len(ws),
         out_shape=[jax.ShapeDtypeStruct((b, n, o), cdtype)] * len(ws),
         interpret=_interpret(),
+        # declare the K GEMMs' flops for XLA cost analysis (bench MFU)
+        cost_estimate=pl.CostEstimate(
+            flops=2 * len(ws) * b * n * c * o,
+            bytes_accessed=2 * (b * n * (c * (o // oc) + len(ws) * o)
+                                + len(ws) * c * o),
+            transcendentals=0,
+        ),
     )(x, ln_s.reshape(1, c), ln_b.reshape(1, c),
       *[w.astype(cdtype) for w in ws])
     return tuple(outs)

@@ -184,6 +184,13 @@ def swin_pre(x, ln_s, ln_b, wqkv, bqkv, h, w, win, d):
             pltpu.VMEM((l, c), cdtype),
         ],
         interpret=_interpret(),
+        # XLA cost analysis can't see into the kernel: declare the qkv GEMM
+        # flops so bench MFU accounting stays truthful after fusion
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * l * c * 3 * c,
+            bytes_accessed=2 * b * l * c * 5 + 2 * c * 3 * c,
+            transcendentals=0,
+        ),
         # 1-D params reshaped to (1, n): TPU VMEM blocks want >=2 dims
     )(x, ln_s.reshape(1, c), ln_b.reshape(1, c),
       wqkv.astype(cdtype), bqkv.reshape(1, 3 * c))
@@ -287,6 +294,11 @@ def swin_post(attn, xr, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2, h, w, win):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, l, c), cdtype),
         interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * l * (c * c + 2 * c * hidden),
+            bytes_accessed=2 * b * l * c * 3 + 2 * c * (c + 2 * hidden),
+            transcendentals=b * l * hidden,  # exact-gelu erf
+        ),
     )(attn.reshape(b * nwh, nww, win * win, c), xr,
       wproj.astype(cdtype), bproj.reshape(1, c),
       ln2s.reshape(1, c), ln2b.reshape(1, c),
