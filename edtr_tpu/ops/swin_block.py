@@ -40,7 +40,6 @@ directly — same math, golden-tested against torch.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

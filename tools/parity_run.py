@@ -51,6 +51,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # the axon sitecustomize force-registers the TPU ahead of JAX_PLATFORMS;
+    # honor an explicit JAX_PLATFORMS=cpu (CI / weightless smoke runs)
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from PIL import Image
 
