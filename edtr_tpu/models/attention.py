@@ -26,37 +26,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from edtr_tpu.models.layers import LayerNorm, GroupNorm32, conv, dense
+from edtr_tpu.models.layers import (DenseParams, GroupNorm32, LayerNorm,
+                                    LNParams, conv, dense)
 from edtr_tpu.ops import geglu, ln_matmul
 from edtr_tpu.ops.attention import dot_product_attention
 
 Dtype = Any
-
-
-class _DenseKernel(nn.Module):
-    """Declares the single ``kernel`` leaf of a bias-free dense layer so
-    the fused LN+GEMM paths keep the param tree byte-identical."""
-
-    in_f: int
-    out_f: int
-
-    @nn.compact
-    def __call__(self):
-        return self.param("kernel", nn.initializers.lecun_normal(),
-                          (self.in_f, self.out_f), jnp.float32)
-
-
-class _LNParams(nn.Module):
-    """LayerNorm's ``scale``/``bias`` leaves (fused paths apply the math)."""
-
-    dim: int
-
-    @nn.compact
-    def __call__(self):
-        return (self.param("scale", nn.initializers.ones, (self.dim,),
-                           jnp.float32),
-                self.param("bias", nn.initializers.zeros, (self.dim,),
-                           jnp.float32))
 
 
 class CrossAttention(nn.Module):
@@ -86,12 +61,12 @@ class CrossAttention(nn.Module):
             s, bb = pre_norm
             xc = x.astype(self.dtype or x.dtype)
             if context is None:
-                wq = _DenseKernel(self.query_dim, inner_dim, name="to_q")()
-                wk = _DenseKernel(self.query_dim, inner_dim, name="to_k")()
-                wv = _DenseKernel(self.query_dim, inner_dim, name="to_v")()
+                wq, _ = DenseParams(self.query_dim, inner_dim, False, name="to_q")()
+                wk, _ = DenseParams(self.query_dim, inner_dim, False, name="to_k")()
+                wv, _ = DenseParams(self.query_dim, inner_dim, False, name="to_v")()
                 q, k, v = ln_matmul.ln_matmuls(xc, s, bb, wq, wk, wv)
             else:
-                wq = _DenseKernel(self.query_dim, inner_dim, name="to_q")()
+                wq, _ = DenseParams(self.query_dim, inner_dim, False, name="to_q")()
                 (q,) = ln_matmul.ln_matmuls(xc, s, bb, wq)
                 k = dense(inner_dim, use_bias=False, dtype=self.dtype,
                           name="to_k")(context)
@@ -113,21 +88,6 @@ class CrossAttention(nn.Module):
         return dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
 
-class _GegluProjParams(nn.Module):
-    """Declares the same leaves as ``dense(..., name='proj')`` so the fused
-    GEGLU path keeps the param tree byte-identical to the module path."""
-
-    in_f: int
-    out_f: int
-
-    @nn.compact
-    def __call__(self):
-        return (self.param("kernel", nn.initializers.lecun_normal(),
-                           (self.in_f, self.out_f), jnp.float32),
-                self.param("bias", nn.initializers.zeros, (self.out_f,),
-                           jnp.float32))
-
-
 class FeedForward(nn.Module):
     """GEGLU feedforward (``glu=True`` path, the only one configs use)."""
 
@@ -144,7 +104,7 @@ class FeedForward(nn.Module):
             # Param tree identical to the dense path below. pre_norm
             # additionally absorbs the block's norm3 (exact-gelu + torch
             # LN semantics either way).
-            k, b = _GegluProjParams(self.dim, inner * 2, name="proj")()
+            k, b = DenseParams(self.dim, inner * 2, name="proj")()
             xc = x.astype(self.dtype or x.dtype)
             halves = (k[:, :inner], k[:, inner:], b[:inner], b[inner:])
             if pre_norm is not None:
@@ -174,7 +134,7 @@ class BasicTransformerBlock(nn.Module):
         # norms are declared here (torch tree: norm1/2/3) but applied
         # INSIDE the fused LN+GEMM ops — the normalized token tensors
         # never round-trip HBM (reference fallbacks inside the ops).
-        ln1 = _LNParams(self.dim, name="norm1")()
+        ln1 = LNParams(self.dim, name="norm1")()
         x = x + CrossAttention(
             query_dim=self.dim,
             context_dim=self.context_dim if self.disable_self_attn else None,
@@ -184,7 +144,7 @@ class BasicTransformerBlock(nn.Module):
             name="attn1",
         )(x, context=context if self.disable_self_attn else None,
           pre_norm=ln1)
-        ln2 = _LNParams(self.dim, name="norm2")()
+        ln2 = LNParams(self.dim, name="norm2")()
         x = x + CrossAttention(
             query_dim=self.dim,
             context_dim=self.context_dim,
@@ -193,7 +153,7 @@ class BasicTransformerBlock(nn.Module):
             dtype=self.dtype,
             name="attn2",
         )(x, context=context, pre_norm=ln2)
-        ln3 = _LNParams(self.dim, name="norm3")()
+        ln3 = LNParams(self.dim, name="norm3")()
         x = x + FeedForward(dim=self.dim, dtype=self.dtype, name="ff")(
             x, pre_norm=ln3)
         return x

@@ -181,6 +181,40 @@ class TorchBatchNorm(nn.Module):
         return y.astype(orig_dtype)
 
 
+class LNParams(nn.Module):
+    """Declares LayerNorm's ``scale``/``bias`` leaves without applying the
+    math — the fused Pallas paths (ops/ln_matmul.py, ops/swin_block.py,
+    ops/geglu.py) normalize in-kernel. Param tree byte-identical to
+    :class:`LayerNorm`."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32),
+                self.param("bias", nn.initializers.zeros, (self.dim,),
+                           jnp.float32))
+
+
+class DenseParams(nn.Module):
+    """Declares ``dense``'s kernel/bias leaves without applying the GEMM
+    (the fused paths contract them in-kernel). Same names, shapes and
+    initializers as :func:`dense`; returns ``(kernel, bias-or-None)``."""
+
+    in_f: int
+    out_f: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_f, self.out_f), jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros, (self.out_f,),
+                        jnp.float32) if self.use_bias else None)
+        return k, b
+
+
 class LayerNorm(nn.Module):
     """LayerNorm in fp32 (torch nn.LayerNorm semantics, eps=1e-5)."""
 

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from edtr_tpu.models.layers import LayerNorm, conv, dense
+from edtr_tpu.models.layers import (DenseParams, LayerNorm, LNParams,
+                                    conv, dense)
 from edtr_tpu.ops import swin_block
 from edtr_tpu.ops.window_attention import window_attention
 
@@ -113,6 +114,16 @@ def shift_attention_mask(h: int, w: int, win: int, shift: int) -> Optional[np.nd
     return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
 
 
+
+def _rel_pos_bias(table: jnp.ndarray, win: int) -> jnp.ndarray:
+    """(H, win², win²) fp32 additive logit bias from the learned table —
+    the ONE construction both the module path and the fused path use."""
+    n = win * win
+    idx = jnp.asarray(relative_position_index(win).reshape(-1))
+    bias = jnp.take(table, idx, axis=0).reshape(n, n, table.shape[-1])
+    return bias.transpose(2, 0, 1)
+
+
 class WindowAttention(nn.Module):
     dim: int
     win: int
@@ -136,9 +147,7 @@ class WindowAttention(nn.Module):
             ((2 * self.win - 1) ** 2, self.num_heads),
             jnp.float32,
         )
-        idx = jnp.asarray(relative_position_index(self.win).reshape(-1))
-        bias = jnp.take(table, idx, axis=0).reshape(n, n, self.num_heads)
-        bias = bias.transpose(2, 0, 1)  # (H, n, n)
+        bias = _rel_pos_bias(table, self.win)  # (H, n, n)
 
         # fused Pallas path: per-window softmax(QKᵀ+bias[+mask])V entirely in
         # VMEM — no (BW, H, n, n) logits in HBM and no mask tiling to the
@@ -165,36 +174,10 @@ class Mlp(nn.Module):
 
 
 # --- param holders for the fused path -------------------------------------
-# The fused kernels (ops/swin_block.py) consume raw weight arrays; these
-# declare EXACTLY the same param tree (names, shapes, initializers) as the
-# module path above, so checkpoints/converters are path-identical whichever
-# path runs.
-
-
-class _DenseParams(nn.Module):
-    in_f: int
-    out_f: int
-    use_bias: bool = True
-
-    @nn.compact
-    def __call__(self):
-        k = self.param("kernel", nn.initializers.lecun_normal(),
-                       (self.in_f, self.out_f), jnp.float32)
-        b = (self.param("bias", nn.initializers.zeros, (self.out_f,),
-                        jnp.float32) if self.use_bias
-             else jnp.zeros((self.out_f,), jnp.float32))
-        return k, b
-
-
-class _LNParams(nn.Module):
-    dim: int
-
-    @nn.compact
-    def __call__(self):
-        return (self.param("scale", nn.initializers.ones, (self.dim,),
-                           jnp.float32),
-                self.param("bias", nn.initializers.zeros, (self.dim,),
-                           jnp.float32))
+# The fused kernels (ops/swin_block.py) consume raw weight arrays; the
+# shared holders (models/layers.py: DenseParams/LNParams) declare EXACTLY
+# the same param tree (names, shapes, initializers) as the module path
+# above, so checkpoints/converters are path-identical whichever path runs.
 
 
 class _AttnParams(nn.Module):
@@ -205,12 +188,14 @@ class _AttnParams(nn.Module):
 
     @nn.compact
     def __call__(self):
-        qkv = _DenseParams(self.dim, self.dim * 3, self.qkv_bias,
+        k, b = DenseParams(self.dim, self.dim * 3, self.qkv_bias,
                            name="qkv")()
+        qkv = (k, b if b is not None else jnp.zeros((self.dim * 3,),
+                                                    jnp.float32))
         table = self.param(
             "relative_position_bias_table", nn.initializers.normal(0.02),
             ((2 * self.win - 1) ** 2, self.num_heads), jnp.float32)
-        proj = _DenseParams(self.dim, self.dim, True, name="proj")()
+        proj = DenseParams(self.dim, self.dim, True, name="proj")()
         return qkv, table, proj
 
 
@@ -220,8 +205,8 @@ class _MlpParams(nn.Module):
 
     @nn.compact
     def __call__(self):
-        fc1 = _DenseParams(self.dim, self.hidden, True, name="fc1")()
-        fc2 = _DenseParams(self.hidden, self.dim, True, name="fc2")()
+        fc1 = DenseParams(self.dim, self.hidden, True, name="fc1")()
+        fc2 = DenseParams(self.hidden, self.dim, True, name="fc2")()
         return fc1, fc2
 
 
@@ -255,8 +240,8 @@ class SwinTransformerBlock(nn.Module):
             (qkv_k, qkv_b), table, (proj_k, proj_b) = _AttnParams(
                 dim=self.dim, win=self.win, num_heads=self.num_heads,
                 name="attn")()
-            ln1_s, ln1_b = _LNParams(c, name="norm1")()
-            ln2_s, ln2_b = _LNParams(c, name="norm2")()
+            ln1_s, ln1_b = LNParams(c, name="norm1")()
+            ln2_s, ln2_b = LNParams(c, name="norm2")()
             (fc1_k, fc1_b), (fc2_k, fc2_b) = _MlpParams(
                 c, int(self.dim * self.mlp_ratio), name="mlp")()
 
@@ -269,10 +254,7 @@ class SwinTransformerBlock(nn.Module):
             qkv = qkv_w.reshape(b * nw, self.win * self.win, 3,
                                 self.num_heads, d_head)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-            idx = jnp.asarray(relative_position_index(self.win).reshape(-1))
-            bias = jnp.take(table, idx, axis=0)
-            bias = bias.reshape(self.win ** 2, self.win ** 2,
-                                self.num_heads).transpose(2, 0, 1)
+            bias = _rel_pos_bias(table, self.win)
             mask = shift_attention_mask(h, w, self.win, shift)
             out = window_attention(
                 q, k, v, bias,

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from edtr_tpu.ops._norms import ln_f32 as _ln_f32
+
 # test hook: force the Pallas path (interpret mode off-TPU)
 _FORCE_KERNEL = False
 
@@ -55,14 +57,6 @@ def _col_tile(inner: int) -> int:
 
 def supported(seq: int, inner: int) -> bool:
     return seq % _SEQ_TILE == 0 and inner % _col_tile(inner) == 0
-
-
-def _ln_f32(x, scale, bias, eps=1e-5):
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    d = xf - mean
-    var = jnp.mean(d * d, axis=-1, keepdims=True)
-    return (d * jax.lax.rsqrt(var + eps)) * scale + bias
 
 
 def _geglu_tile(x, wh_ref, wg_ref, bh_ref, bg_ref, out_dtype):

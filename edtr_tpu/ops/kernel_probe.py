@@ -1,93 +1,105 @@
 """Fail-safe probe for the optional fused Pallas kernels.
 
-The fused swin-block and GEGLU kernels (ops/swin_block.py, ops/geglu.py)
-are default-on on TPU with pure-XLA reference fallbacks selected at
-dispatch time. A Mosaic lowering regression (new jaxlib, new TPU
-generation) would otherwise surface as a compile failure in the middle of
-a big model build; entry points that must never hard-fail (bench.py,
-``__graft_entry__.entry``) call :func:`ensure_fused_kernels_usable` first
-— it compiles each kernel once at tiny shapes and flips the corresponding
+The fused swin-block / GEGLU / LN+GEMM kernels are default-on on TPU with
+pure-XLA reference fallbacks selected at dispatch time. A Mosaic lowering
+regression (new jaxlib, new TPU generation) or a VMEM budget miss would
+otherwise surface as a compile failure in the middle of a big model build;
+entry points that must never hard-fail (bench.py, ``__graft_entry__.entry``)
+call :func:`ensure_fused_kernels_usable` first — it compiles each kernel
+once at the flagship worst-case per-grid-cell shapes (batch 1: the cell
+footprint is batch-independent) and flips the corresponding
 ``EDTR_*_FUSED=0`` kill-switch on failure, so the run proceeds on the
-reference paths at worst.
+reference paths at worst. Diagnostics go to stderr (bench.py's stdout is
+one JSON line by contract).
 """
 
 from __future__ import annotations
 
 import os
+import sys
 
 __all__ = ["ensure_fused_kernels_usable"]
 
 _PROBED = False
 
+_SWITCHES = {
+    "swin_block": "EDTR_SWIN_FUSED",
+    "geglu": "EDTR_GEGLU_FUSED",
+    "ln_matmul": "EDTR_LNMM_FUSED",
+}
+
+
+def _enabled(name: str) -> bool:
+    return os.environ.get(_SWITCHES[name], "1") != "0"
+
 
 def ensure_fused_kernels_usable() -> dict:
     """Probe-compile the fused kernels on the default backend (idempotent).
 
-    Returns {kernel_name: bool usable}. No-op on CPU (dispatch already
-    falls back there).
+    Returns {kernel_name: bool usable-and-enabled}. No-op on CPU (dispatch
+    already falls back there) and for kernels whose kill-switch is pre-set.
     """
     global _PROBED
     import jax
     import jax.numpy as jnp
 
-    result = {"swin_block": True, "geglu": True, "ln_matmul": True}
-    if jax.default_backend() != "tpu":
-        return result
-    if _PROBED:
-        return {
-            "swin_block": os.environ.get("EDTR_SWIN_FUSED", "1") != "0",
-            "geglu": os.environ.get("EDTR_GEGLU_FUSED", "1") != "0",
-            "ln_matmul": os.environ.get("EDTR_LNMM_FUSED", "1") != "0",
-        }
+    status = lambda: {k: _enabled(k) for k in _SWITCHES}
+    if jax.default_backend() != "tpu" or _PROBED:
+        return status()
     _PROBED = True
 
-    from edtr_tpu.ops import geglu, swin_block
+    from edtr_tpu.ops import geglu, ln_matmul, swin_block
 
-    h = w = 16
-    win, c = 8, 128
-    try:
-        x = jnp.ones((1, h * w, c), jnp.bfloat16)
-        one = jnp.ones((c,), jnp.float32)
-        wq = jnp.ones((c, 3 * c), jnp.float32) * 0.01
-        qkv_w, xr = jax.jit(
-            lambda *a: swin_block.swin_pre(*a, h, w, win, 4)
-        )(x, one, jnp.zeros((c,)), wq, jnp.zeros((3 * c,)))
-        attn = qkv_w[..., :c]
-        ws = [jnp.ones((c, c)) * 0.01, jnp.zeros((c,)), one, jnp.zeros((c,)),
-              jnp.ones((c, 2 * c)) * 0.01, jnp.zeros((2 * c,)),
-              jnp.ones((2 * c, c)) * 0.01, jnp.zeros((c,))]
-        jax.block_until_ready(jax.jit(
-            lambda *a: swin_block.swin_post(*a, h, w, win))(attn, xr, *ws))
-    except Exception as e:  # pragma: no cover - device-specific
-        os.environ["EDTR_SWIN_FUSED"] = "0"
-        result["swin_block"] = False
-        print(f"[kernel_probe] fused swin block disabled: {type(e).__name__}")
+    def _disable(name, exc):
+        os.environ[_SWITCHES[name]] = "0"
+        print(f"[kernel_probe] fused {name} disabled: {type(exc).__name__}: "
+              f"{exc}", file=sys.stderr)
 
-    try:
-        xg = jnp.ones((1, geglu._SEQ_TILE, c), jnp.bfloat16)
-        wg = jnp.ones((c, 4 * c), jnp.float32) * 0.01
-        bg = jnp.zeros((4 * c,))
-        sg = jnp.ones((c,), jnp.float32)
-        jax.block_until_ready(
-            jax.jit(geglu.geglu_proj)(xg, wg, wg, bg, bg))
-        jax.block_until_ready(
-            jax.jit(geglu.ln_geglu_proj)(xg, sg, 0 * sg, wg, wg, bg, bg))
-    except Exception as e:  # pragma: no cover - device-specific
-        os.environ["EDTR_GEGLU_FUSED"] = "0"
-        result["geglu"] = False
-        print(f"[kernel_probe] fused geglu disabled: {type(e).__name__}")
+    # flagship worst-case per-cell shapes: SwinIR 64x64 tokens C=180;
+    # geglu / ln_matmul at the C=1280 transformer level
+    if _enabled("swin_block"):
+        try:
+            h = w = 64
+            win, c, hid = 8, 180, 360
+            x = jnp.ones((1, h * w, c), jnp.bfloat16)
+            one = jnp.ones((c,), jnp.float32)
+            wq = jnp.ones((c, 3 * c), jnp.float32) * 0.01
+            qkv_w, xr = jax.jit(
+                lambda *a: swin_block.swin_pre(*a, h, w, win, 4)
+            )(x, one, jnp.zeros((c,)), wq, jnp.zeros((3 * c,)))
+            attn = qkv_w[..., :c]
+            ws = [jnp.ones((c, c)) * 0.01, jnp.zeros((c,)),
+                  one, jnp.zeros((c,)),
+                  jnp.ones((c, hid)) * 0.01, jnp.zeros((hid,)),
+                  jnp.ones((hid, c)) * 0.01, jnp.zeros((c,))]
+            jax.block_until_ready(jax.jit(
+                lambda *a: swin_block.swin_post(*a, h, w, win))(attn, xr, *ws))
+        except Exception as e:  # pragma: no cover - device-specific
+            _disable("swin_block", e)
 
-    from edtr_tpu.ops import ln_matmul
+    if _enabled("geglu"):
+        try:
+            c, inner = 1280, 5120
+            xg = jnp.ones((1, geglu._SEQ_TILE, c), jnp.bfloat16)
+            wg = jnp.ones((c, inner), jnp.float32) * 0.01
+            bg = jnp.zeros((inner,))
+            sg = jnp.ones((c,), jnp.float32)
+            jax.block_until_ready(
+                jax.jit(geglu.geglu_proj)(xg, wg, wg, bg, bg))
+            jax.block_until_ready(
+                jax.jit(geglu.ln_geglu_proj)(xg, sg, 0 * sg, wg, wg, bg, bg))
+        except Exception as e:  # pragma: no cover - device-specific
+            _disable("geglu", e)
 
-    result["ln_matmul"] = True
-    try:
-        xl = jnp.ones((1, ln_matmul._SEQ_TILE, c), jnp.bfloat16)
-        sl = jnp.ones((c,), jnp.float32)
-        wl = jnp.ones((c, c), jnp.float32) * 0.01
-        jax.block_until_ready(jax.jit(
-            lambda *a: ln_matmul.ln_matmuls(*a))(xl, sl, 0 * sl, wl, wl, wl))
-    except Exception as e:  # pragma: no cover - device-specific
-        os.environ["EDTR_LNMM_FUSED"] = "0"
-        result["ln_matmul"] = False
-        print(f"[kernel_probe] fused ln_matmul disabled: {type(e).__name__}")
-    return result
+    if _enabled("ln_matmul"):
+        try:
+            c = 1280
+            xl = jnp.ones((1, ln_matmul._SEQ_TILE, c), jnp.bfloat16)
+            sl = jnp.ones((c,), jnp.float32)
+            wl = jnp.ones((c, c), jnp.float32) * 0.01
+            jax.block_until_ready(jax.jit(
+                lambda *a: ln_matmul.ln_matmuls(*a))(
+                    xl, sl, 0 * sl, wl, wl, wl))
+        except Exception as e:  # pragma: no cover - device-specific
+            _disable("ln_matmul", e)
+    return status()

@@ -46,6 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from edtr_tpu.ops._norms import ln_f32 as _layernorm_f32
+
 
 # test hook: force the Pallas path (interpret mode off-TPU)
 _FORCE_KERNEL = False
@@ -80,15 +82,6 @@ def _roll2d(x: jnp.ndarray, d: int, h: int, w: int) -> jnp.ndarray:
     if dw:
         xi = jnp.concatenate([xi[:, dw:], xi[:, :dw]], axis=1)
     return xi.reshape(h * w, c)
-
-
-def _layernorm_f32(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
-                   eps: float) -> jnp.ndarray:
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    d = xf - mean
-    var = jnp.mean(d * d, axis=-1, keepdims=True)
-    return (d * jax.lax.rsqrt(var + eps)) * scale + bias
 
 
 # ---------------------------------------------------------------------------

@@ -103,8 +103,7 @@ def test_pre_kernel_interpret_matches_ref(shift_d, monkeypatch):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-5)
 
 
-@pytest.mark.parametrize("use_win_rows", [2])
-def test_post_kernel_interpret_matches_ref(use_win_rows, monkeypatch):
+def test_post_kernel_interpret_matches_ref(monkeypatch):
     h = w = 16
     win, c, hidden = 8, 12, 24
     nw = (h // win) * (w // win)

@@ -31,6 +31,12 @@ REP = 8
 
 def main():
     import jax
+
+    if os.environ.get("EDTR_PROF_CPU") == "1" or \
+            os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        # the axon sitecustomize force-registers the TPU ahead of
+        # JAX_PLATFORMS; this is the documented in-process escape hatch
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from edtr_tpu.models.unet import ResBlock
@@ -60,7 +66,6 @@ def main():
                 return out
             return jax.jit(run)
 
-        f_blk = rep(lambda v, p, e: blk.apply(p, v, e))(x, params, emb)
         f_blk = rep(lambda v, p, e: blk.apply(p, v, e))
         t_blk = timeit_chained(f_blk, x, params, emb, iters=ITERS) / REP * 1e3
 
