@@ -26,9 +26,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from edtr_tpu.models.layers import (DenseParams, GroupNorm32, LayerNorm,
-                                    LNParams, conv, dense)
-from edtr_tpu.ops import geglu, ln_matmul
+from edtr_tpu.models.layers import (DenseParams, GNParams, GroupNorm32,
+                                    LayerNorm, LNParams, conv, dense)
+from edtr_tpu.ops import geglu, gn_conv, ln_matmul
 from edtr_tpu.ops.attention import dot_product_attention
 
 Dtype = Any
@@ -182,12 +182,21 @@ class SpatialTransformer(nn.Module):
         b, h, w, c = x.shape
         inner_dim = self.n_heads * self.d_head
         x_in = x
-        x = GroupNorm32(num_groups=32, epsilon=1e-6, name="norm")(x)
-        if not self.use_linear:
-            x = conv(inner_dim, 1, dtype=self.dtype, name="proj_in")(x)
-        x = x.reshape(b, h * w, x.shape[-1])
         if self.use_linear:
-            x = dense(inner_dim, dtype=self.dtype, name="proj_in")(x)
+            # GroupNorm folds to a per-(B, C) affine applied inside the
+            # proj_in GEMM tiles (ops/ln_matmul.py:affine_matmul) — the
+            # normalized tokens never round-trip HBM. Param tree identical
+            # to the GroupNorm32 + dense path.
+            gs, gb = GNParams(c, name="norm")()
+            xc = x.astype(self.dtype or x.dtype)
+            mul, add = gn_conv.gn_fold(xc, gs, gb, eps=1e-6)
+            wk, bk = DenseParams(c, inner_dim, name="proj_in")()
+            x = ln_matmul.affine_matmul(
+                xc.reshape(b, h * w, c), mul, add, wk, bk)
+        else:
+            x = GroupNorm32(num_groups=32, epsilon=1e-6, name="norm")(x)
+            x = conv(inner_dim, 1, dtype=self.dtype, name="proj_in")(x)
+            x = x.reshape(b, h * w, x.shape[-1])
         for d in range(self.depth):
             x = BasicTransformerBlock(
                 dim=inner_dim,

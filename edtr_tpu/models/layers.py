@@ -197,6 +197,44 @@ class LNParams(nn.Module):
                            jnp.float32))
 
 
+class GNParams(nn.Module):
+    """Declares GroupNorm's ``scale``/``bias`` leaves without applying the
+    math — the fused GN+SiLU+conv path (ops/gn_conv.py) folds and applies
+    the norm in-kernel. Param tree byte-identical to :class:`GroupNorm32`."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32),
+                self.param("bias", nn.initializers.zeros, (self.dim,),
+                           jnp.float32))
+
+
+class ConvParams(nn.Module):
+    """Declares ``conv``'s kernel/bias leaves without applying the conv
+    (the fused paths contract them in-kernel). Same names, shapes and
+    initializers as :func:`conv`; returns ``(kernel HWIO, bias-or-None)``."""
+
+    kh: int
+    kw: int
+    in_f: int
+    out_f: int
+    use_bias: bool = True
+    zero: bool = False
+
+    @nn.compact
+    def __call__(self):
+        init = (nn.initializers.zeros if self.zero
+                else nn.initializers.lecun_normal())
+        k = self.param("kernel", init, (self.kh, self.kw, self.in_f,
+                                        self.out_f), jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros, (self.out_f,),
+                        jnp.float32) if self.use_bias else None)
+        return k, b
+
+
 class DenseParams(nn.Module):
     """Declares ``dense``'s kernel/bias leaves without applying the GEMM
     (the fused paths contract them in-kernel). Same names, shapes and

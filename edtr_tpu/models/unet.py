@@ -26,6 +26,8 @@ from flax import linen as nn
 
 from edtr_tpu.models.attention import SpatialTransformer
 from edtr_tpu.models.layers import (
+    ConvParams,
+    GNParams,
     GroupNorm32,
     avg_pool_2x,
     conv,
@@ -34,6 +36,7 @@ from edtr_tpu.models.layers import (
     silu,
     timestep_embedding,
 )
+from edtr_tpu.ops import gn_conv
 
 Dtype = Any
 
@@ -42,14 +45,41 @@ class ResBlock(nn.Module):
     """LDM ResBlock, ``use_scale_shift_norm=False`` variant.
 
     Parity: ``model/unet.py:110-223`` (in_layers/emb_layers/out_layers/skip).
+
+    ``fused=True`` (default) routes both GN+SiLU+conv3x3 halves through
+    ``ops/gn_conv.py`` — GroupNorm stats fold in XLA, the normalized
+    activation stays in VMEM, and the emb/skip adds fuse into the conv
+    epilogues. Param tree and math are identical to the legacy module path
+    (which ``fused=False`` preserves for equality tests); the op falls back
+    to exact XLA reference math on CPU/unsupported shapes.
     """
 
     out_channels: int
     dtype: Optional[Dtype] = None
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[-1]
+        if self.fused:
+            gs1, gb1 = GNParams(in_ch, name="in_norm")()
+            w1, b1 = ConvParams(3, 3, in_ch, self.out_channels,
+                                name="in_conv")()
+            emb_out = dense(self.out_channels, dtype=self.dtype,
+                            name="emb_proj")(silu(emb))
+            gs2, gb2 = GNParams(self.out_channels, name="out_norm")()
+            w2, b2 = ConvParams(3, 3, self.out_channels, self.out_channels,
+                                zero=True, name="out_conv")()
+            skip = x
+            if in_ch != self.out_channels:
+                skip = conv(self.out_channels, 1, dtype=self.dtype,
+                            name="skip")(x)
+            xc = x.astype(self.dtype or x.dtype)
+            mul1, add1 = gn_conv.gn_fold(xc, gs1, gb1)
+            h = gn_conv.gn_silu_conv(xc, mul1, add1, w1, b1, emb_out, None)
+            mul2, add2 = gn_conv.gn_fold(h, gs2, gb2)
+            return gn_conv.gn_silu_conv(h, mul2, add2, w2, b2, None,
+                                        skip.astype(h.dtype))
         h = GroupNorm32(name="in_norm")(x)
         h = silu(h)
         h = conv(self.out_channels, 3, padding=1, dtype=self.dtype, name="in_conv")(h)

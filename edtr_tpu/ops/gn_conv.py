@@ -1,0 +1,507 @@
+"""Fused GroupNorm+SiLU+conv3x3 for the UNet/ControlNet ResBlocks (Pallas).
+
+The denoise scan is ~52% of the flagship pipeline and its ResBlock convs
+were measured ~54% MFU (tools/bench_resblock.py sizes the prize). In XLA
+each ResBlock half round-trips the normalized activation through HBM:
+GN-apply+SiLU writes h, the conv reads it back. This kernel keeps h in
+VMEM: each image is DMA'd once into a zero-padded VMEM scratch, the folded
+GN affine + SiLU is applied in place, and the 3x3 conv runs as 9 shifted
+``(R, W, Cin) @ (Cin, cc)`` MXU matmuls with the conv bias, the ResBlock's
+timestep-embedding add and the skip residual fused into the epilogue — the
+normalized tensor and the pre-epilogue conv output never touch HBM.
+
+GroupNorm statistics are computed OUTSIDE the kernel (``gn_fold``) with the
+exact channel-sum formulation of ``models/layers.py:GroupNorm32`` (one
+cheap XLA reduction pass over x); the kernel consumes the folded per-(B, C)
+``mul``/``add``. This keeps the kernel's grid free of cross-tile stat
+coupling and keeps fp32 numerics identical to the module path.
+
+Backward is XLA recompute via ``jax.custom_vjp`` over the reference math
+(the EDTR train step differentiates through the UNet/ControlNet); CPU and
+unsupported shapes dispatch to the reference directly. Reference hot path:
+``model/unet.py:203-223`` (ResBlock._forward) inside the sampler step graph
+``utils/sampler.py:184-204`` (/root/reference).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# test hook: force the Pallas path (interpret mode off-TPU)
+_FORCE_KERNEL = False
+
+# per-grid-cell VMEM budget (bytes); ~16 MB/core minus Mosaic overhead and
+# the double-buffered block pipelines accounted in _plan_bytes
+_BUDGET = 11 * 2 ** 20
+
+
+def _use_kernel() -> bool:
+    import os
+
+    if os.environ.get("EDTR_GNCONV_FUSED", "1") == "0":  # kill-switch
+        return False
+    return _FORCE_KERNEL or jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def gn_fold(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
+    """Fold GroupNorm into per-(B, C) fp32 ``(mul, add)``.
+
+    Same two-pass channel-sum statistics as ``GroupNorm32`` (spatial-axis
+    reductions keep C in the 128-lane minor dim; see the layout note there),
+    so ``x_f32 * mul + add`` equals the module path bit-for-bit in fp32.
+    """
+    b, _, _, c = x.shape
+    g = num_groups
+    cg = c // g
+    n_spatial = x.shape[1] * x.shape[2]
+    count = jnp.asarray(n_spatial * cg, jnp.float32)
+    ch_sum = jnp.sum(x, axis=(1, 2), dtype=jnp.float32)        # (B, C)
+    mean_g = ch_sum.reshape(b, g, cg).sum(-1) / count          # (B, G)
+    mean_c = jnp.broadcast_to(mean_g[:, :, None], (b, g, cg)).reshape(b, c)
+    diff = x.astype(jnp.float32) - mean_c[:, None, None, :]
+    var_g = jnp.sum(diff * diff, axis=(1, 2)).reshape(
+        b, g, cg).sum(-1) / count                              # (B, G)
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    inv_c = jnp.broadcast_to(inv_g[:, :, None], (b, g, cg)).reshape(b, c)
+    mul = inv_c * scale[None, :]
+    add = bias[None, :] - mean_c * mul
+    return mul, add
+
+
+def _plan_bytes(h, w, cin, cout, r, cc, has_res, es):
+    j = cout // cc
+    hpad = (h + 2) * (w + 2) * cin * es                 # persistent scratch
+    wbytes = 9 * cin * cc * es * (2 if j > 1 else 1)    # blocked by j
+    acc = r * w * cc * 4                                # f32 accumulator
+    slab = r * w * cin * es * 2                         # tap operand (+copy)
+    out = r * w * cc * es * 2                           # double-buffered
+    res = r * w * cc * es * 2 if has_res else 0
+    return hpad + wbytes + acc + slab + out + res
+
+
+def _plan(h, w, cin, cout, has_res, es=2):
+    """Pick (rows-per-cell, out-channel block) or None if nothing fits."""
+    if h < 4 or w < 4:
+        return None
+    ccs = []
+    cc = cout
+    while cc >= 128 and cc % 2 == 0 or cc == cout:
+        ccs.append(cc)
+        if cc % 2 or cc // 2 < 128:
+            break
+        cc //= 2
+    for cc in ccs:
+        r = h
+        while r >= min(h, 8):
+            if h % r == 0 and _plan_bytes(
+                    h, w, cin, cout, r, cc, has_res, es) * 1.15 <= _BUDGET:
+                return r, cc
+            if r % 2 or r // 2 < 8:
+                break
+            r //= 2
+    return None
+
+
+# band tier: no whole-image scratch — stream (R+2)-row halo bands per cell.
+# Exact scratch accounting (no hidden double-buffering of the big pieces).
+_BAND_BUDGET = 11.5 * 2 ** 20
+
+
+def _band_bytes(h, w, cin, cout, r, cc, has_res, es):
+    j = cout // cc
+    band = (r + 2) * (w + 2) * cin * es            # streamed scratch
+    wbytes = 9 * cin * cc * es * (2 if j > 1 else 1)
+    acc = r * w * cc * 4
+    slab = r * w * cin * es
+    out = r * w * cc * es * 2
+    res = r * w * cc * es * 2 if has_res else 0
+    return band + wbytes + acc + slab + out + res
+
+
+def _band_plan(h, w, cin, cout, has_res, es=2):
+    """(rows, cc) for the streaming-band kernel, or None."""
+    if h < 16:  # needs >=2 row blocks; small maps fit the whole-image tier
+        return None
+    cc = cout
+    ccs = []
+    while True:
+        ccs.append(cc)
+        if cc % 2 or cc // 2 < 128:
+            break
+        cc //= 2
+    for cc in ccs:
+        for r in (16, 8):
+            if h % r == 0 and h // r >= 2 and _band_bytes(
+                    h, w, cin, cout, r, cc, has_res, es) * 1.1 \
+                    <= _BAND_BUDGET:
+                return r, cc
+    return None
+
+
+def supported(h: int, w: int, cin: int, cout: int,
+              has_res: bool = True) -> bool:
+    return (_plan(h, w, cin, cout, has_res) is not None
+            or _band_plan(h, w, cin, cout, has_res) is not None)
+
+
+def _epilogue(acc, b_ref, emb_ref, res_ref, out_dtype):
+    """bias/emb/residual adds in compute dtype — the exact legacy order
+    (flax Conv adds its bias after casting; ResBlock adds emb and skip in
+    the compute dtype)."""
+    out = acc.astype(out_dtype) + b_ref[0][None, None, :].astype(out_dtype)
+    if emb_ref is not None:
+        out = out + emb_ref[0][None, None, :].astype(out_dtype)
+    if res_ref is not None:
+        out = out + res_ref[0]
+    return out
+
+
+def _body(x_hbm, mul_ref, add_ref, w_ref, b_ref, emb_ref, res_ref,
+          o_ref, hpad, sem, *, h, w, r_rows):
+    bi = pl.program_id(0)
+    j = pl.program_id(1)
+    r = pl.program_id(2)
+
+    @pl.when((j == 0) & (r == 0))
+    def _prep():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[bi], hpad.at[1:h + 1, 1:w + 1, :], sem)
+        cp.start()
+        cp.wait()
+        hpad[0:1] = jnp.zeros_like(hpad[0:1])
+        hpad[h + 1:h + 2] = jnp.zeros_like(hpad[h + 1:h + 2])
+        hpad[:, 0:1] = jnp.zeros_like(hpad[:, 0:1])
+        hpad[:, w + 1:w + 2] = jnp.zeros_like(hpad[:, w + 1:w + 2])
+        xi = hpad[1:h + 1, 1:w + 1, :].astype(jnp.float32)
+        a = xi * mul_ref[0][None, None, :] + add_ref[0][None, None, :]
+        # cast-then-SiLU: matches GroupNorm32 (casts after affine) + silu
+        hpad[1:h + 1, 1:w + 1, :] = jax.nn.silu(a.astype(hpad.dtype))
+
+    cc = o_ref.shape[-1]
+    acc = jnp.zeros((r_rows, w, cc), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            slab = hpad[pl.ds(r * r_rows + ky, r_rows), pl.ds(kx, w), :]
+            acc = acc + jax.lax.dot_general(
+                slab, w_ref[ky, kx], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    o_ref[0] = _epilogue(acc, b_ref, emb_ref, res_ref, o_ref.dtype)
+
+
+def _kernel_emb(x_hbm, mul_ref, add_ref, w_ref, b_ref, emb_ref,
+                o_ref, hpad, sem, *, h, w, r_rows):
+    _body(x_hbm, mul_ref, add_ref, w_ref, b_ref, emb_ref, None,
+          o_ref, hpad, sem, h=h, w=w, r_rows=r_rows)
+
+
+def _kernel_res(x_hbm, mul_ref, add_ref, w_ref, b_ref, res_ref,
+                o_ref, hpad, sem, *, h, w, r_rows):
+    _body(x_hbm, mul_ref, add_ref, w_ref, b_ref, None, res_ref,
+          o_ref, hpad, sem, h=h, w=w, r_rows=r_rows)
+
+
+def _kernel_plain(x_hbm, mul_ref, add_ref, w_ref, b_ref,
+                  o_ref, hpad, sem, *, h, w, r_rows):
+    _body(x_hbm, mul_ref, add_ref, w_ref, b_ref, None, None,
+          o_ref, hpad, sem, h=h, w=w, r_rows=r_rows)
+
+
+def _kernel_emb_res(x_hbm, mul_ref, add_ref, w_ref, b_ref, emb_ref, res_ref,
+                    o_ref, hpad, sem, *, h, w, r_rows):
+    _body(x_hbm, mul_ref, add_ref, w_ref, b_ref, emb_ref, res_ref,
+          o_ref, hpad, sem, h=h, w=w, r_rows=r_rows)
+
+
+def _band_body(x_hbm, mul_ref, add_ref, w_ref, b_ref, emb_ref, res_ref,
+               o_ref, band, sem, *, h, w, r_rows, nr):
+    bi = pl.program_id(1)
+    r = pl.program_id(2)
+    r0 = r * r_rows
+    cp = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(r0, r_rows)],
+        band.at[pl.ds(1, r_rows), 1:w + 1, :], sem)
+    cp.start()
+    cp.wait()
+
+    @pl.when(r > 0)
+    def _top():
+        t = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(r0 - 1, 1)], band.at[0:1, 1:w + 1, :], sem)
+        t.start()
+        t.wait()
+
+    @pl.when(r < nr - 1)
+    def _bot():
+        t = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(r0 + r_rows, 1)],
+            band.at[r_rows + 1:r_rows + 2, 1:w + 1, :], sem)
+        t.start()
+        t.wait()
+
+    xi = band[:, 1:w + 1, :].astype(jnp.float32)
+    a = xi * mul_ref[0][None, None, :] + add_ref[0][None, None, :]
+    band[:, 1:w + 1, :] = jax.nn.silu(a.astype(band.dtype))
+
+    # edge halo rows and the side pad columns must be conv ZEROS (the
+    # affine above would otherwise turn them into silu(add))
+    @pl.when(r == 0)
+    def _z0():
+        band[0:1] = jnp.zeros_like(band[0:1])
+
+    @pl.when(r == nr - 1)
+    def _z1():
+        band[r_rows + 1:r_rows + 2] = jnp.zeros_like(
+            band[r_rows + 1:r_rows + 2])
+
+    band[:, 0:1] = jnp.zeros_like(band[:, 0:1])
+    band[:, w + 1:w + 2] = jnp.zeros_like(band[:, w + 1:w + 2])
+
+    cc = o_ref.shape[-1]
+    acc = jnp.zeros((r_rows, w, cc), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            slab = band[ky:ky + r_rows, kx:kx + w, :]
+            acc = acc + jax.lax.dot_general(
+                slab, w_ref[ky, kx], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    o_ref[0] = _epilogue(acc, b_ref, emb_ref, res_ref, o_ref.dtype)
+
+
+def _band_emb(x, m, a, wr, br, emb, o, band, sem, *, h, w, r_rows, nr):
+    _band_body(x, m, a, wr, br, emb, None, o, band, sem,
+               h=h, w=w, r_rows=r_rows, nr=nr)
+
+
+def _band_res(x, m, a, wr, br, res, o, band, sem, *, h, w, r_rows, nr):
+    _band_body(x, m, a, wr, br, None, res, o, band, sem,
+               h=h, w=w, r_rows=r_rows, nr=nr)
+
+
+def _band_plain(x, m, a, wr, br, o, band, sem, *, h, w, r_rows, nr):
+    _band_body(x, m, a, wr, br, None, None, o, band, sem,
+               h=h, w=w, r_rows=r_rows, nr=nr)
+
+
+def _band_emb_res(x, m, a, wr, br, emb, res, o, band, sem,
+                  *, h, w, r_rows, nr):
+    _band_body(x, m, a, wr, br, emb, res, o, band, sem,
+               h=h, w=w, r_rows=r_rows, nr=nr)
+
+
+def _ref(x, mul, add, w, b, emb, res):
+    """XLA reference: exact legacy-module math (affine in fp32, cast, SiLU,
+    conv in compute dtype, bias/emb/res adds in compute dtype)."""
+    cdtype = x.dtype
+    a = x.astype(jnp.float32) * mul[:, None, None, :] + add[:, None, None, :]
+    hh = jax.nn.silu(a.astype(cdtype))
+    o = jax.lax.conv_general_dilated(
+        hh, w.astype(cdtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    o = o + b.astype(cdtype)
+    if emb is not None:
+        o = o + emb[:, None, None, :].astype(cdtype)
+    if res is not None:
+        o = o + res
+    return o
+
+
+def _call(x, mul, add, w, b, emb, res):
+    batch, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    es = jnp.dtype(x.dtype).itemsize
+    plan = _plan(h, wd, cin, cout, res is not None, es)
+    band = None
+    if plan is None:
+        band = _band_plan(h, wd, cin, cout, res is not None, es)
+    if not (_use_kernel() and (plan is not None or band is not None)):
+        return _ref(x, mul, add, w, b, emb, res)
+    if plan is None:
+        return _band_call(x, mul, add, w, b, emb, res, band)
+    r_rows, cc = plan
+    cdtype = x.dtype
+    jblk = cout // cc
+    nr = h // r_rows
+    grid = (batch, jblk, nr)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),                       # x (DMA'd)
+        pl.BlockSpec((1, cin), lambda bi, j, r: (bi, 0),
+                     memory_space=pltpu.VMEM),                   # mul
+        pl.BlockSpec((1, cin), lambda bi, j, r: (bi, 0),
+                     memory_space=pltpu.VMEM),                   # add
+        pl.BlockSpec((3, 3, cin, cc), lambda bi, j, r: (0, 0, 0, j),
+                     memory_space=pltpu.VMEM),                   # w
+        pl.BlockSpec((1, cc), lambda bi, j, r: (0, j),
+                     memory_space=pltpu.VMEM),                   # bias
+    ]
+    operands = [x, mul, add, w.astype(cdtype), b.reshape(1, cout)]
+    if emb is not None and res is not None:
+        kern = _kernel_emb_res
+    elif emb is not None:
+        kern = _kernel_emb
+    elif res is not None:
+        kern = _kernel_res
+    else:
+        kern = _kernel_plain
+    if emb is not None:
+        in_specs.append(pl.BlockSpec((1, cc), lambda bi, j, r: (bi, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(emb)
+    if res is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, r_rows, wd, cc), lambda bi, j, r: (bi, r, 0, j),
+            memory_space=pltpu.VMEM))
+        operands.append(res)
+
+    return pl.pallas_call(
+        functools.partial(kern, h=h, w=wd, r_rows=r_rows),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, r_rows, wd, cc), lambda bi, j, r: (bi, r, 0, j),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, h, wd, cout), cdtype),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2, wd + 2, cin), cdtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+        # declare the conv GEMM flops for XLA cost analysis (bench MFU)
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * h * wd * 9 * cin * cout,
+            bytes_accessed=(batch * h * wd
+                            * (cin + cout * (2 if res is not None else 1))
+                            * jnp.dtype(cdtype).itemsize
+                            + 9 * cin * cout * 2 * max(jblk, 1)),
+            transcendentals=batch * h * wd * cin,  # in-place SiLU sigmoid
+        ),
+    )(*operands)
+
+
+def _band_call(x, mul, add, w, b, emb, res, plan):
+    """Streaming-band variant: grid (j, b, r); each cell DMAs its own
+    (R+2)-row halo band (re-read across j sweeps — j is 1 for every
+    flagship shape this tier serves)."""
+    batch, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    r_rows, cc = plan
+    cdtype = x.dtype
+    jblk = cout // cc
+    nr = h // r_rows
+    grid = (jblk, batch, nr)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),                       # x (DMA'd)
+        pl.BlockSpec((1, cin), lambda j, bi, r: (bi, 0),
+                     memory_space=pltpu.VMEM),                   # mul
+        pl.BlockSpec((1, cin), lambda j, bi, r: (bi, 0),
+                     memory_space=pltpu.VMEM),                   # add
+        pl.BlockSpec((3, 3, cin, cc), lambda j, bi, r: (0, 0, 0, j),
+                     memory_space=pltpu.VMEM),                   # w
+        pl.BlockSpec((1, cc), lambda j, bi, r: (0, j),
+                     memory_space=pltpu.VMEM),                   # bias
+    ]
+    operands = [x, mul, add, w.astype(cdtype), b.reshape(1, cout)]
+    if emb is not None and res is not None:
+        kern = _band_emb_res
+    elif emb is not None:
+        kern = _band_emb
+    elif res is not None:
+        kern = _band_res
+    else:
+        kern = _band_plain
+    if emb is not None:
+        in_specs.append(pl.BlockSpec((1, cc), lambda j, bi, r: (bi, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(emb)
+    if res is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, r_rows, wd, cc), lambda j, bi, r: (bi, r, 0, j),
+            memory_space=pltpu.VMEM))
+        operands.append(res)
+
+    return pl.pallas_call(
+        functools.partial(kern, h=h, w=wd, r_rows=r_rows, nr=nr),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, r_rows, wd, cc), lambda j, bi, r: (bi, r, 0, j),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, h, wd, cout), cdtype),
+        scratch_shapes=[
+            pltpu.VMEM((r_rows + 2, wd + 2, cin), cdtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * h * wd * 9 * cin * cout,
+            bytes_accessed=(batch * h * wd
+                            * (cin * jblk
+                               + cout * (2 if res is not None else 1))
+                            * jnp.dtype(cdtype).itemsize
+                            + 9 * cin * cout * 2 * max(jblk, 1)),
+            transcendentals=batch * h * wd * cin * jblk,
+        ),
+    )(*operands)
+
+
+@jax.custom_vjp
+def gn_silu_conv(x, mul, add, w, b, emb, res):
+    """``conv3x3(silu(x*mul + add)) + b [+ emb] [+ res]`` (NHWC, pad 1).
+
+    Args:
+      x: (B, H, W, Cin) compute dtype.
+      mul/add: (B, Cin) fp32 folded GroupNorm affine from :func:`gn_fold`.
+      w: (3, 3, Cin, Cout) fp32 HWIO kernel (cast to x.dtype for the MXU).
+      b: (Cout,) fp32 conv bias.
+      emb: optional (B, Cout) timestep-embedding projection (compute dtype).
+      res: optional (B, H, W, Cout) residual added last (compute dtype).
+    Returns:
+      (B, H, W, Cout) in x.dtype.
+    """
+    return _call(x, mul, add, w, b, emb, res)
+
+
+def _fwd(x, mul, add, w, b, emb, res):
+    return gn_silu_conv(x, mul, add, w, b, emb, res), (
+        x, mul, add, w, b, emb, res)
+
+
+def _bwd(saved, g):
+    x, mul, add, w, b, emb, res = saved
+    live = [x, mul, add, w, b] + [t for t in (emb, res) if t is not None]
+
+    def f(*args):
+        a = list(args[:5])
+        i = 5
+        for t in (emb, res):
+            if t is None:
+                a.append(None)
+            else:
+                a.append(args[i])
+                i += 1
+        return _ref(*a)
+
+    _, vjp = jax.vjp(f, *live)
+    grads = list(vjp(g))
+    out = grads[:5]
+    i = 5
+    for t in (emb, res):
+        if t is None:
+            out.append(None)
+        else:
+            out.append(grads[i])
+            i += 1
+    return tuple(out)
+
+
+gn_silu_conv.defvjp(_fwd, _bwd)

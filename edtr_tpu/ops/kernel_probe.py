@@ -26,6 +26,7 @@ _SWITCHES = {
     "swin_block": "EDTR_SWIN_FUSED",
     "geglu": "EDTR_GEGLU_FUSED",
     "ln_matmul": "EDTR_LNMM_FUSED",
+    "gn_conv": "EDTR_GNCONV_FUSED",
 }
 
 
@@ -48,7 +49,7 @@ def ensure_fused_kernels_usable() -> dict:
         return status()
     _PROBED = True
 
-    from edtr_tpu.ops import geglu, ln_matmul, swin_block
+    from edtr_tpu.ops import geglu, gn_conv, ln_matmul, swin_block
 
     def _disable(name, exc):
         os.environ[_SWITCHES[name]] = "0"
@@ -100,6 +101,28 @@ def ensure_fused_kernels_usable() -> dict:
             jax.block_until_ready(jax.jit(
                 lambda *a: ln_matmul.ln_matmuls(*a))(
                     xl, sl, 0 * sl, wl, wl, wl))
+            jax.block_until_ready(jax.jit(
+                lambda *a: ln_matmul.affine_matmul(*a))(
+                    xl, sl.reshape(1, c), 0 * sl.reshape(1, c), wl,
+                    jnp.zeros((c,), jnp.float32)))
         except Exception as e:  # pragma: no cover - device-specific
             _disable("ln_matmul", e)
+
+    if _enabled("gn_conv"):
+        try:
+            # the largest supported UNet ResBlock plans per tier (batch 1;
+            # the per-cell footprint is batch-independent): whole-image
+            # tier (64/32/8) + the streaming-band tier (64², Cin 960)
+            for h, cin, cout in [(64, 320, 320), (32, 640, 640),
+                                 (8, 1280, 1280), (64, 960, 320)]:
+                xg = jnp.ones((1, h, h, cin), jnp.bfloat16)
+                mu = jnp.ones((1, cin), jnp.float32)
+                wk = jnp.ones((3, 3, cin, cout), jnp.float32) * 0.01
+                bk = jnp.zeros((cout,), jnp.float32)
+                eg = jnp.ones((1, cout), jnp.bfloat16)
+                rg = jnp.zeros((1, h, h, cout), jnp.bfloat16)
+                jax.block_until_ready(jax.jit(gn_conv.gn_silu_conv)(
+                    xg, mu, 0 * mu, wk, bk, eg, rg))
+        except Exception as e:  # pragma: no cover - device-specific
+            _disable("gn_conv", e)
     return status()

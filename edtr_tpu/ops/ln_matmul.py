@@ -139,3 +139,87 @@ def _bwd(res, g):
 
 
 ln_matmuls.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# affine (folded GroupNorm) + projection — the SpatialTransformer entry
+# ---------------------------------------------------------------------------
+
+
+def _aff_kernel(x_ref, m_ref, a_ref, w_ref, b_ref, o_ref):
+    xa = (x_ref[0].astype(jnp.float32) * m_ref[...]
+          + a_ref[...]).astype(x_ref.dtype)
+    o = jnp.dot(xa, w_ref[...], preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype) + b_ref[...].astype(o_ref.dtype)
+
+
+def _aff_ref(x, mul, add, w, b):
+    cdtype = x.dtype
+    xa = (x.astype(jnp.float32) * mul[:, None, :]
+          + add[:, None, :]).astype(cdtype)
+    o = jnp.dot(xa, w.astype(cdtype), preferred_element_type=jnp.float32)
+    return o.astype(cdtype) + b.astype(cdtype)
+
+
+@jax.custom_vjp
+def affine_matmul(x, mul, add, w, b):
+    """``((x*mul + add) @ w) + b`` with the affine kept in VMEM.
+
+    The SpatialTransformer entry (reference ``model/attention.py:283-295``)
+    is GroupNorm -> proj_in: the norm folds to a per-(B, C) affine outside
+    (ops/gn_conv.py:gn_fold) and applies here inside the GEMM tile, so the
+    normalized tokens never round-trip HBM.
+
+    Args:
+      x: (B, N, C) tokens in compute dtype.
+      mul/add: (B, C) fp32 folded GroupNorm affine.
+      w: (C, O) fp32 kernel; b: (O,) fp32 bias (adds in compute dtype,
+        matching flax Dense).
+    Returns:
+      (B, N, O) in x.dtype.
+    """
+    bsz, n, c = x.shape
+    o = w.shape[-1]
+    if not (_use_kernel() and supported(n)):
+        return _aff_ref(x, mul, add, w, b)
+    cdtype = x.dtype
+    ts = _SEQ_TILE
+    oc = _out_tile(o)
+    grid = (bsz, n // ts, o // oc)
+    return pl.pallas_call(
+        _aff_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ts, c), lambda i, s, j: (i, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, s, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, s, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, oc), lambda i, s, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, oc), lambda i, s, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ts, oc), lambda i, s, j: (i, s, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, n, o), cdtype),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * n * c * o,
+            bytes_accessed=2 * (bsz * n * (c * (o // oc) + o) + c * o),
+            transcendentals=0,
+        ),
+    )(x, mul, add, w.astype(cdtype), b.reshape(1, o))
+
+
+def _aff_fwd(x, mul, add, w, b):
+    return affine_matmul(x, mul, add, w, b), (x, mul, add, w, b)
+
+
+def _aff_bwd(res, g):
+    _, vjp = jax.vjp(_aff_ref, *res)
+    return vjp(g)
+
+
+affine_matmul.defvjp(_aff_fwd, _aff_bwd)

@@ -1,0 +1,156 @@
+"""Fused GN+SiLU+conv3x3 (ops/gn_conv.py) vs reference math and the legacy
+ResBlock module path (reference ``model/unet.py:110-223``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edtr_tpu.models.layers import GroupNorm32
+from edtr_tpu.models.unet import ResBlock
+from edtr_tpu.ops import gn_conv
+
+
+def _args(b=2, h=16, w=8, cin=64, cout=128, emb=True, res=True, seed=0):
+    g = np.random.default_rng(seed)
+    x = jnp.asarray(g.standard_normal((b, h, w, cin)), jnp.float32)
+    mul = jnp.asarray(g.standard_normal((b, cin)) * 0.5 + 1.0, jnp.float32)
+    add = jnp.asarray(g.standard_normal((b, cin)) * 0.1, jnp.float32)
+    wk = jnp.asarray(g.standard_normal((3, 3, cin, cout)) * 0.05, jnp.float32)
+    bk = jnp.asarray(g.standard_normal(cout) * 0.1, jnp.float32)
+    e = jnp.asarray(g.standard_normal((b, cout)) * 0.2,
+                    jnp.float32) if emb else None
+    r = jnp.asarray(g.standard_normal((b, h, w, cout)),
+                    jnp.float32) if res else None
+    return x, mul, add, wk, bk, e, r
+
+
+@pytest.mark.parametrize("emb,res", [(True, True), (True, False),
+                                     (False, True), (False, False)])
+def test_kernel_interpret_matches_ref(monkeypatch, emb, res):
+    args = _args(emb=emb, res=res)
+    ref = gn_conv._ref(*args)
+    monkeypatch.setattr(gn_conv, "_FORCE_KERNEL", True)
+    got = gn_conv.gn_silu_conv(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_kernel_interpret_chunked_grid(monkeypatch):
+    """Small budget forces out-channel (j) and row (r) splits."""
+    args = _args(h=32, w=8, cin=64, cout=256, seed=1)
+    ref = gn_conv._ref(*args)
+    monkeypatch.setattr(gn_conv, "_BUDGET", 1_100_000)
+    plan = gn_conv._plan(32, 8, 64, 256, True, es=4)
+    assert plan is not None and (plan[0] < 32 or plan[1] < 256), plan
+    monkeypatch.setattr(gn_conv, "_FORCE_KERNEL", True)
+    got = gn_conv.gn_silu_conv(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_kernel_interpret_nonsquare(monkeypatch):
+    args = _args(h=8, w=24, cin=32, cout=64, seed=2)
+    ref = gn_conv._ref(*args)
+    monkeypatch.setattr(gn_conv, "_FORCE_KERNEL", True)
+    got = gn_conv.gn_silu_conv(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("emb,res", [(True, True), (True, False),
+                                     (False, True), (False, False)])
+def test_band_kernel_interpret_matches_ref(monkeypatch, emb, res):
+    """Whole-image budget zeroed -> streaming-band tier; halo rows are the
+    correctness risk, so h spans 4 row blocks."""
+    args = _args(h=32, w=8, cin=64, cout=128, emb=emb, res=res, seed=6)
+    ref = gn_conv._ref(*args)
+    monkeypatch.setattr(gn_conv, "_BUDGET", 100)
+    assert gn_conv._band_plan(32, 8, 64, 128, res, es=4) is not None
+    monkeypatch.setattr(gn_conv, "_FORCE_KERNEL", True)
+    got = gn_conv.gn_silu_conv(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_band_kernel_interpret_col_chunks(monkeypatch):
+    args = _args(h=16, w=8, cin=64, cout=256, seed=7)
+    ref = gn_conv._ref(*args)
+    monkeypatch.setattr(gn_conv, "_BUDGET", 100)
+    monkeypatch.setattr(gn_conv, "_BAND_BUDGET", 900_000)
+    plan = gn_conv._band_plan(16, 8, 64, 256, True, es=4)
+    assert plan is not None and plan[1] < 256, plan
+    monkeypatch.setattr(gn_conv, "_FORCE_KERNEL", True)
+    got = gn_conv.gn_silu_conv(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_gn_fold_matches_groupnorm32():
+    """x*mul+add == GroupNorm32 apply, same channel-sum stat formulation."""
+    g = np.random.default_rng(3)
+    x = jnp.asarray(g.standard_normal((2, 8, 8, 64)), jnp.float32)
+    gn = GroupNorm32(num_groups=32)
+    v = gn.init(jax.random.PRNGKey(0), x)
+    v = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * g.standard_normal(a.shape).astype(a.dtype), v)
+    ref = gn.apply(v, x)
+    mul, add = gn_conv.gn_fold(x, v["params"]["scale"], v["params"]["bias"])
+    got = x * mul[:, None, None, :] + add[:, None, None, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("cout", [64, 128])  # 64 = identity skip path
+def test_resblock_fused_matches_legacy(monkeypatch, cout):
+    monkeypatch.setattr(gn_conv, "_FORCE_KERNEL", True)
+    g = np.random.default_rng(4)
+    x = jnp.asarray(g.standard_normal((2, 16, 8, 64)), jnp.float32)
+    emb = jnp.asarray(g.standard_normal((2, 96)), jnp.float32)
+    bf = ResBlock(out_channels=cout, fused=True)
+    bl = ResBlock(out_channels=cout, fused=False)
+    p = jax.jit(bl.init)(jax.random.PRNGKey(2), x, emb)["params"]
+    # randomize the zero-init out_conv so the second half is exercised
+    p = jax.tree_util.tree_map(
+        lambda a: a + 0.05 * g.standard_normal(a.shape).astype(a.dtype), p)
+    pf = jax.jit(bf.init)(jax.random.PRNGKey(2), x, emb)["params"]
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(pf))
+    of = jax.jit(lambda p, x, e: bf.apply({"params": p}, x, e))(p, x, emb)
+    ol = jax.jit(lambda p, x, e: bl.apply({"params": p}, x, e))(p, x, emb)
+    np.testing.assert_allclose(np.asarray(of), np.asarray(ol), atol=3e-6)
+
+    gf = jax.jit(jax.grad(
+        lambda p, x, e: (bf.apply({"params": p}, x, e) ** 2).mean()))(
+            p, x, emb)
+    gl = jax.jit(jax.grad(
+        lambda p, x, e: (bl.apply({"params": p}, x, e) ** 2).mean()))(
+            p, x, emb)
+    for (path, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(gf),
+                                 jax.tree_util.tree_leaves_with_path(gl)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))
+        assert float(jnp.abs(jnp.asarray(b)).max()) > 0, \
+            jax.tree_util.keystr(path)
+
+
+def test_flagship_plans():
+    """The plans the probe/bench rely on: supported hot shapes stay
+    supported, oversize shapes fall back (never a surprise compile)."""
+    assert gn_conv.supported(64, 64, 320, 320)
+    assert gn_conv.supported(32, 32, 640, 640)
+    assert gn_conv.supported(8, 8, 1280, 1280)
+    # 64² decoder concat blocks ride the streaming-band tier
+    assert gn_conv._plan(64, 64, 640, 320, True) is None
+    assert gn_conv._band_plan(64, 64, 640, 320, True) is not None
+    assert gn_conv._band_plan(64, 64, 960, 320, True) is not None
+    assert not gn_conv.supported(16, 16, 2560, 1280)  # falls back to XLA
+    # VAE decode scale fits the band tier (future use; UNet never sees it)
+    assert gn_conv._band_plan(512, 512, 128, 128, True) is not None
+
+
+def test_unsupported_falls_back(monkeypatch):
+    monkeypatch.setattr(gn_conv, "_FORCE_KERNEL", True)
+    monkeypatch.setattr(gn_conv, "_BUDGET", 100)  # nothing fits -> ref path
+    monkeypatch.setattr(gn_conv, "_BAND_BUDGET", 100)
+    args = _args(seed=5)
+    assert gn_conv._plan(16, 8, 64, 128, True, es=4) is None
+    assert gn_conv._band_plan(16, 8, 64, 128, True, es=4) is None
+    got = gn_conv.gn_silu_conv(*args)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(gn_conv._ref(*args)), atol=0)

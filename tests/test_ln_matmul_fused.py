@@ -51,6 +51,59 @@ def test_ln_geglu_interpret_matches_ref(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_affine_matmul_interpret_matches_ref(monkeypatch):
+    g = np.random.default_rng(7)
+    x = jnp.asarray(g.standard_normal((2, 512, 24)), jnp.float32)
+    mul = jnp.asarray(g.standard_normal((2, 24)) * 0.5 + 1, jnp.float32)
+    add = jnp.asarray(g.standard_normal((2, 24)) * 0.1, jnp.float32)
+    w = jnp.asarray(g.standard_normal((24, 32)) * 0.1, jnp.float32)
+    b = jnp.asarray(g.standard_normal(32), jnp.float32)
+    ref = ln_matmul._aff_ref(x, mul, add, w, b)
+    monkeypatch.setattr(ln_matmul, "_FORCE_KERNEL", True)
+    got = ln_matmul.affine_matmul(x, mul, add, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_spatial_transformer_matches_legacy_math(monkeypatch):
+    """Fused GN->proj_in entry == GroupNorm32 + dense, same param tree."""
+    from edtr_tpu.models.attention import SpatialTransformer
+    from edtr_tpu.models.layers import GroupNorm32
+
+    st = SpatialTransformer(in_channels=64, n_heads=2, d_head=16,
+                            context_dim=24)
+    g = np.random.default_rng(8)
+    x = jnp.asarray(g.standard_normal((2, 16, 16, 64)), jnp.float32)
+    ctx = jnp.asarray(g.standard_normal((2, 77, 24)), jnp.float32)
+    v = jax.jit(st.init)(jax.random.PRNGKey(0), x, ctx)
+    p = v["params"]
+    assert set(p["norm"].keys()) == {"scale", "bias"}
+    assert p["proj_in"]["kernel"].shape == (64, 32)
+
+    # legacy entry math from the same params
+    gn = GroupNorm32(num_groups=32, epsilon=1e-6)
+    xn = gn.apply({"params": p["norm"]}, x)
+    want_entry = xn.reshape(2, 256, 64) @ p["proj_in"]["kernel"] \
+        + p["proj_in"]["bias"]
+    mul, add = __import__("edtr_tpu.ops.gn_conv", fromlist=["gn_fold"]) \
+        .gn_fold(x, p["norm"]["scale"], p["norm"]["bias"], eps=1e-6)
+    got_entry = ln_matmul.affine_matmul(
+        x.reshape(2, 256, 64), mul, add,
+        p["proj_in"]["kernel"], p["proj_in"]["bias"])
+    np.testing.assert_allclose(np.asarray(got_entry), np.asarray(want_entry),
+                               atol=2e-5)
+
+    # full module runs and differentiates (perturb the zero-init proj_out
+    # so gradients reach the inner blocks)
+    out = jax.jit(st.apply)(v, x, ctx)
+    assert out.shape == x.shape
+    p = jax.tree_util.tree_map(
+        lambda a: a + 0.05 * g.standard_normal(a.shape).astype(a.dtype), p)
+    grads = jax.jit(jax.grad(
+        lambda pp: jnp.mean(st.apply({"params": pp}, x, ctx) ** 2)))(p)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
+        assert float(jnp.abs(leaf).max()) > 0, jax.tree_util.keystr(path)
+
+
 @pytest.fixture(scope="module")
 def block_and_params():
     blk = BasicTransformerBlock(dim=32, n_heads=2, d_head=16, context_dim=24)

@@ -134,6 +134,76 @@ for seq, ch in [(4096, 320), (1024, 640), (256, 1280)]:
     assert ge < 0.15, ge
 
 
+# --- 2.72 affine(GN-fold)+proj_in GEMM (SpatialTransformer entry) ---
+for seq, ch, inner in [(4096, 320, 320), (1024, 640, 640), (256, 1280, 1280)]:
+    _ga = _np.random.default_rng(12)
+    xa = jnp.asarray(_ga.standard_normal((8, seq, ch)), jnp.bfloat16)
+    ma = jnp.asarray(_ga.standard_normal((8, ch)) * 0.3 + 1, jnp.float32)
+    aa = jnp.asarray(_ga.standard_normal((8, ch)) * 0.1, jnp.float32)
+    wa = jnp.asarray(_ga.standard_normal((ch, inner)) * 0.05, jnp.float32)
+    ba = jnp.asarray(_ga.standard_normal(inner) * 0.05, jnp.float32)
+    fk = jax.jit(lambda *a: _lnm.affine_matmul(*a)).lower(
+        xa, ma, aa, wa, ba).compile()
+    fr = jax.jit(lambda *a: _lnm._aff_ref(*a)).lower(
+        xa, ma, aa, wa, ba).compile()
+    ok = fk(xa, ma, aa, wa, ba); rk = fr(xa, ma, aa, wa, ba)
+    ge = float(jnp.abs(ok.astype(jnp.float32) - rk.astype(jnp.float32)).max())
+    tk = _tc(fk, xa, ma, aa, wa, ba, iters=10) * 1e3
+    tr = _tc(fr, xa, ma, aa, wa, ba, iters=10) * 1e3
+    print(f"affine_matmul {seq}x{ch}: err={ge:.4f} pallas {tk:.3f} ms"
+          f"  xla {tr:.3f} ms  speedup {tr/tk:.2f}x", flush=True)
+    assert ge < 0.15, ge
+
+
+# --- 2.75 fused GN+SiLU+conv ResBlock kernel: numerics + per-level timing ---
+from edtr_tpu.ops import gn_conv as _gnc
+from edtr_tpu.models.unet import ResBlock as _RB
+for hh, cin, cout in [(64, 320, 320), (64, 640, 320), (64, 960, 320),
+                      (32, 640, 640), (32, 320, 640), (8, 1280, 1280)]:
+    if not _gnc.supported(hh, hh, cin, cout):
+        print(f"gn_conv {hh}x{hh} {cin}->{cout}: UNSUPPORTED (XLA fallback)",
+              flush=True)
+        continue
+    _gg = _np.random.default_rng(13)
+    xg = jnp.asarray(_gg.standard_normal((8, hh, hh, cin)), jnp.bfloat16)
+    mu = jnp.asarray(_gg.standard_normal((8, cin)) * 0.3 + 1, jnp.float32)
+    ad = jnp.asarray(_gg.standard_normal((8, cin)) * 0.1, jnp.float32)
+    wk = jnp.asarray(_gg.standard_normal((3, 3, cin, cout)) * 0.02,
+                     jnp.float32)
+    bk = jnp.asarray(_gg.standard_normal(cout) * 0.05, jnp.float32)
+    eg = jnp.asarray(_gg.standard_normal((8, cout)) * 0.2, jnp.bfloat16)
+    rg = jnp.asarray(_gg.standard_normal((8, hh, hh, cout)), jnp.bfloat16)
+    fk = jax.jit(lambda *a: _gnc.gn_silu_conv(*a)).lower(
+        xg, mu, ad, wk, bk, eg, rg).compile()
+    fr = jax.jit(lambda *a: _gnc._ref(*a)).lower(
+        xg, mu, ad, wk, bk, eg, rg).compile()
+    ok = fk(xg, mu, ad, wk, bk, eg, rg); rk = fr(xg, mu, ad, wk, bk, eg, rg)
+    ge = float(jnp.abs(ok.astype(jnp.float32) - rk.astype(jnp.float32)).max())
+    tk = _tc(fk, xg, mu, ad, wk, bk, eg, rg, iters=10) * 1e3
+    tr = _tc(fr, xg, mu, ad, wk, bk, eg, rg, iters=10) * 1e3
+    print(f"gn_conv {hh}x{hh} {cin}->{cout}: err={ge:.4f} pallas {tk:.3f} ms"
+          f"  xla {tr:.3f} ms  speedup {tr/tk:.2f}x", flush=True)
+    assert ge < 0.25, ge
+# full ResBlock module fused-vs-legacy at the flagship 64² level
+xb = jax.random.normal(jax.random.PRNGKey(21), (8, 64, 64, 320), jnp.bfloat16)
+ebt = jax.random.normal(jax.random.PRNGKey(22), (8, 1280), jnp.bfloat16)
+rbf = _RB(out_channels=320, dtype=jnp.bfloat16, fused=True)
+rbl = _RB(out_channels=320, dtype=jnp.bfloat16, fused=False)
+pv = jax.jit(rbl.init)({"params": jax.random.PRNGKey(23)}, xb, ebt)["params"]
+pv = jax.tree.map(lambda a: a + 0.02, pv)  # unzero out_conv
+ff = jax.jit(lambda p, x, e: rbf.apply({"params": p}, x, e)).lower(
+    pv, xb, ebt).compile()
+fl = jax.jit(lambda p, x, e: rbl.apply({"params": p}, x, e)).lower(
+    pv, xb, ebt).compile()
+obf = ff(pv, xb, ebt); obl = fl(pv, xb, ebt)
+rerr = float(jnp.abs(obf.astype(jnp.float32) - obl.astype(jnp.float32)).max())
+tf_ = _tc(ff, pv, xb, ebt, iters=10) * 1e3
+tl_ = _tc(fl, pv, xb, ebt, iters=10) * 1e3
+print(f"ResBlock 64x64x320 fused vs legacy: err={rerr:.4f} "
+      f"fused {tf_:.3f} ms  legacy {tl_:.3f} ms  speedup {tl_/tf_:.2f}x",
+      flush=True)
+assert rerr < 0.25, rerr
+
 # --- 2.8 cost-analysis cross-check: pallas flops visible to XLA? ---
 def _fl(compiled):
     cost = compiled.cost_analysis()
