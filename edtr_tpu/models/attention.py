@@ -26,9 +26,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from edtr_tpu.models.layers import (DenseParams, GNParams, GroupNorm32,
-                                    LayerNorm, LNParams, conv, dense)
-from edtr_tpu.ops import geglu, gn_conv, ln_matmul
+from edtr_tpu.models.layers import (DenseParams, GroupNorm32, LayerNorm,
+                                    LNParams, conv, dense)
+from edtr_tpu.ops import geglu, ln_matmul
 from edtr_tpu.ops.attention import dot_product_attention
 
 Dtype = Any
@@ -187,9 +187,8 @@ class SpatialTransformer(nn.Module):
             # proj_in GEMM tiles (ops/ln_matmul.py:affine_matmul) — the
             # normalized tokens never round-trip HBM. Param tree identical
             # to the GroupNorm32 + dense path.
-            gs, gb = GNParams(c, name="norm")()
             xc = x.astype(self.dtype or x.dtype)
-            mul, add = gn_conv.gn_fold(xc, gs, gb, eps=1e-6)
+            mul, add = GroupNorm32(epsilon=1e-6, fold=True, name="norm")(xc)
             wk, bk = DenseParams(c, inner_dim, name="proj_in")()
             x = ln_matmul.affine_matmul(
                 xc.reshape(b, h * w, c), mul, add, wk, bk)

@@ -52,44 +52,40 @@ class GroupNorm32(nn.Module):
     the reference's fp32 forcing (``GroupNorm32``, ``model/util.py:161-163``).
     ``epsilon`` is 1e-5 for UNet norms (torch default) and 1e-6 for the
     VAE/SpatialTransformer ``Normalize`` (``model/attention.py:50-51``).
+
+    ``fold=True`` returns the folded per-(B, C) fp32 ``(mul, add)`` instead
+    of applying the norm — the fused GN+conv/GEMM paths (ops/gn_conv.py,
+    ops/ln_matmul.py:affine_matmul) apply it inside their kernels. The
+    param tree, the ``gn_stats`` sow and the ``gn_moments`` injection
+    (tiled-VAE GroupNorm sync) are identical in both modes, and in fp32
+    ``x*mul + add`` is bit-identical to the applied path.
     """
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    fold: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
+        from edtr_tpu.ops.gn_conv import fold_from_moments, gn_stats
+
         orig_dtype = x.dtype
         b = x.shape[0]
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        g = self.num_groups
-        cg = c // g
-        spatial_axes = tuple(range(1, x.ndim - 1))
-        n_spatial = 1
-        for a in spatial_axes:
-            n_spatial *= x.shape[a]
-        count = jnp.asarray(n_spatial * cg, jnp.float32)
 
         # LAYOUT-CRITICAL: stats reduce over SPATIAL axes only, keeping C in
         # the 128-lane minor dim. The old (B, S, G, C/G) reshape put C/G
         # (4..40) in lanes — a forced relayout + ~3% lane utilization that
         # made the norm stat passes 41% of the whole restore executable
         # (778 convert_reduce fusions, 232 of 569 ms at bs8 512², r3 trace).
-        # Per-group aggregation happens on the tiny (B, C) partials instead.
-        # Two-pass fp32 stats (no E[x²]-E[x]² cancellation) over the RAW
-        # tile data — these feed the sow below even when global moments are
-        # injected, so the tiled-VAE fixed-point iteration keeps observing
-        # the actual tiles. (Channel-then-group summation order differs from
-        # the old flat order by fp32 associativity only, ~1e-7 relative.)
-        ch_sum = jnp.sum(x, axis=spatial_axes, dtype=jnp.float32)  # (B, C)
-        mean_g = ch_sum.reshape(b, g, cg).sum(-1) / count          # (B, G)
-        mean_c = jnp.broadcast_to(mean_g[:, :, None], (b, g, cg)).reshape(b, c)
-        mean_bc = mean_c.reshape((b,) + (1,) * len(spatial_axes) + (c,))
-        diff = x.astype(jnp.float32) - mean_bc
-        var_g = jnp.sum(diff * diff, axis=spatial_axes).reshape(
-            b, g, cg).sum(-1) / count                              # (B, G)
+        # Per-group aggregation happens on the tiny (B, C) partials instead
+        # (ops/gn_conv.py:gn_stats). Two-pass fp32 stats (no E[x²]-E[x]²
+        # cancellation) over the RAW tile data — these feed the sow below
+        # even when global moments are injected, so the tiled-VAE
+        # fixed-point iteration keeps observing the actual tiles.
+        count, mean_g, var_g = gn_stats(x, self.num_groups)
 
         if self.has_variable("gn_moments", "mean"):
             use_mean_g = self.get_variable("gn_moments", "mean")   # (B, G)
@@ -105,15 +101,14 @@ class GroupNorm32(nn.Module):
             (count, mean_g * count, (var_g + jnp.square(mean_g)) * count),
             reduce_fn=lambda a, b: b,
         )
-        inv_g = jax.lax.rsqrt(use_var_g + self.epsilon)            # (B, G)
-        use_mean_c = jnp.broadcast_to(
-            use_mean_g[:, :, None], (b, g, cg)).reshape(b, c)
-        inv_c = jnp.broadcast_to(inv_g[:, :, None], (b, g, cg)).reshape(b, c)
         # fold the affine into the per-channel scale/shift so the apply is
         # one fused multiply-add over the NHWC tensor
-        mul = inv_c * scale[None, :]                               # (B, C)
-        add = bias[None, :] - use_mean_c * mul
-        shape_bc = (b,) + (1,) * len(spatial_axes) + (c,)
+        mul, add = fold_from_moments(
+            use_mean_g, use_var_g, scale, bias, c, self.epsilon)
+        if self.fold:
+            return mul, add
+        spatial = x.ndim - 2
+        shape_bc = (b,) + (1,) * spatial + (c,)
         y = x.astype(jnp.float32) * mul.reshape(shape_bc) + add.reshape(shape_bc)
         return y.astype(orig_dtype)
 
@@ -186,21 +181,6 @@ class LNParams(nn.Module):
     math — the fused Pallas paths (ops/ln_matmul.py, ops/swin_block.py,
     ops/geglu.py) normalize in-kernel. Param tree byte-identical to
     :class:`LayerNorm`."""
-
-    dim: int
-
-    @nn.compact
-    def __call__(self):
-        return (self.param("scale", nn.initializers.ones, (self.dim,),
-                           jnp.float32),
-                self.param("bias", nn.initializers.zeros, (self.dim,),
-                           jnp.float32))
-
-
-class GNParams(nn.Module):
-    """Declares GroupNorm's ``scale``/``bias`` leaves without applying the
-    math — the fused GN+SiLU+conv path (ops/gn_conv.py) folds and applies
-    the norm in-kernel. Param tree byte-identical to :class:`GroupNorm32`."""
 
     dim: int
 

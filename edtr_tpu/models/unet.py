@@ -27,7 +27,6 @@ from flax import linen as nn
 from edtr_tpu.models.attention import SpatialTransformer
 from edtr_tpu.models.layers import (
     ConvParams,
-    GNParams,
     GroupNorm32,
     avg_pool_2x,
     conv,
@@ -62,22 +61,20 @@ class ResBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[-1]
         if self.fused:
-            gs1, gb1 = GNParams(in_ch, name="in_norm")()
+            xc = x.astype(self.dtype or x.dtype)
+            mul1, add1 = GroupNorm32(fold=True, name="in_norm")(xc)
             w1, b1 = ConvParams(3, 3, in_ch, self.out_channels,
                                 name="in_conv")()
             emb_out = dense(self.out_channels, dtype=self.dtype,
                             name="emb_proj")(silu(emb))
-            gs2, gb2 = GNParams(self.out_channels, name="out_norm")()
+            h = gn_conv.gn_silu_conv(xc, mul1, add1, w1, b1, emb_out, None)
+            mul2, add2 = GroupNorm32(fold=True, name="out_norm")(h)
             w2, b2 = ConvParams(3, 3, self.out_channels, self.out_channels,
                                 zero=True, name="out_conv")()
             skip = x
             if in_ch != self.out_channels:
                 skip = conv(self.out_channels, 1, dtype=self.dtype,
                             name="skip")(x)
-            xc = x.astype(self.dtype or x.dtype)
-            mul1, add1 = gn_conv.gn_fold(xc, gs1, gb1)
-            h = gn_conv.gn_silu_conv(xc, mul1, add1, w1, b1, emb_out, None)
-            mul2, add2 = gn_conv.gn_fold(h, gs2, gb2)
             return gn_conv.gn_silu_conv(h, mul2, add2, w2, b2, None,
                                         skip.astype(h.dtype))
         h = GroupNorm32(name="in_norm")(x)

@@ -30,19 +30,51 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from edtr_tpu.models.distributions import DiagonalGaussianDistribution
-from edtr_tpu.models.layers import GroupNorm32, conv, nearest_upsample_2x, silu
+from edtr_tpu.models.layers import (ConvParams, GroupNorm32, conv,
+                                    nearest_upsample_2x, silu)
+from edtr_tpu.ops import gn_conv
 from edtr_tpu.ops.attention import dot_product_attention
 
 Dtype = Any
 
 
 class ResnetBlock(nn.Module):
+    """VAE resblock (``model/vae.py:38-85``, dropout=0 in every config).
+
+    ``fused=True`` (default) routes both GN+SiLU+conv3x3 halves through
+    ``ops/gn_conv.py`` with the skip add fused into the second conv's
+    epilogue. ``GroupNorm32(fold=True)`` keeps the ``gn_stats`` sow and
+    ``gn_moments`` injection, so the tiled-VAE GroupNorm sync
+    (utils/tiling.py) is unchanged: global moments fold into the same
+    per-(B, C) affine the kernel applies. Falls back to exact XLA
+    reference math on CPU/unsupported shapes; ``fused=False`` preserves
+    the legacy module path for equality tests (identical param tree).
+    """
+
     out_channels: int
     dtype: Optional[Dtype] = None
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[-1]
+        if self.fused:
+            xc = x.astype(self.dtype or x.dtype)
+            mul1, add1 = GroupNorm32(epsilon=1e-6, fold=True,
+                                     name="norm1")(xc)
+            w1, b1 = ConvParams(3, 3, in_ch, self.out_channels,
+                                name="conv1")()
+            h = gn_conv.gn_silu_conv(xc, mul1, add1, w1, b1, None, None)
+            mul2, add2 = GroupNorm32(epsilon=1e-6, fold=True,
+                                     name="norm2")(h)
+            w2, b2 = ConvParams(3, 3, self.out_channels, self.out_channels,
+                                name="conv2")()
+            skip = x
+            if in_ch != self.out_channels:
+                skip = conv(self.out_channels, 1, dtype=self.dtype,
+                            name="nin_shortcut")(x)
+            return gn_conv.gn_silu_conv(h, mul2, add2, w2, b2, None,
+                                        skip.astype(h.dtype))
         h = GroupNorm32(epsilon=1e-6, name="norm1")(x)
         h = silu(h)
         h = conv(self.out_channels, 3, padding=1, dtype=self.dtype, name="conv1")(h)

@@ -52,29 +52,52 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def gn_fold(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
-    """Fold GroupNorm into per-(B, C) fp32 ``(mul, add)``.
+def gn_stats(x, num_groups: int = 32):
+    """Two-pass per-(B, G) fp32 GroupNorm moments ``(count, mean_g, var_g)``.
 
-    Same two-pass channel-sum statistics as ``GroupNorm32`` (spatial-axis
-    reductions keep C in the 128-lane minor dim; see the layout note there),
-    so ``x_f32 * mul + add`` equals the module path bit-for-bit in fp32.
+    Same channel-sum formulation as ``GroupNorm32`` (spatial-axis reductions
+    keep C in the 128-lane minor dim; see the layout note there). Works for
+    any trailing-channel layout with >=1 spatial axes.
     """
-    b, _, _, c = x.shape
+    b = x.shape[0]
+    c = x.shape[-1]
     g = num_groups
     cg = c // g
-    n_spatial = x.shape[1] * x.shape[2]
+    spatial_axes = tuple(range(1, x.ndim - 1))
+    n_spatial = 1
+    for a in spatial_axes:
+        n_spatial *= x.shape[a]
     count = jnp.asarray(n_spatial * cg, jnp.float32)
-    ch_sum = jnp.sum(x, axis=(1, 2), dtype=jnp.float32)        # (B, C)
+    ch_sum = jnp.sum(x, axis=spatial_axes, dtype=jnp.float32)  # (B, C)
     mean_g = ch_sum.reshape(b, g, cg).sum(-1) / count          # (B, G)
-    mean_c = jnp.broadcast_to(mean_g[:, :, None], (b, g, cg)).reshape(b, c)
-    diff = x.astype(jnp.float32) - mean_c[:, None, None, :]
-    var_g = jnp.sum(diff * diff, axis=(1, 2)).reshape(
+    mean_bc = jnp.broadcast_to(
+        mean_g[:, :, None], (b, g, cg)).reshape(
+            (b,) + (1,) * len(spatial_axes) + (c,))
+    diff = x.astype(jnp.float32) - mean_bc
+    var_g = jnp.sum(diff * diff, axis=spatial_axes).reshape(
         b, g, cg).sum(-1) / count                              # (B, G)
+    return count, mean_g, var_g
+
+
+def fold_from_moments(mean_g, var_g, scale, bias, c: int,
+                      eps: float = 1e-5):
+    """Per-(B, C) fp32 ``(mul, add)`` from per-(B, G) moments + affine."""
+    b, g = mean_g.shape
+    cg = c // g
     inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.broadcast_to(mean_g[:, :, None], (b, g, cg)).reshape(b, c)
     inv_c = jnp.broadcast_to(inv_g[:, :, None], (b, g, cg)).reshape(b, c)
     mul = inv_c * scale[None, :]
     add = bias[None, :] - mean_c * mul
     return mul, add
+
+
+def gn_fold(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
+    """Fold GroupNorm into per-(B, C) fp32 ``(mul, add)`` so that
+    ``x_f32 * mul + add`` equals the ``GroupNorm32`` module path bit-for-bit
+    in fp32."""
+    _, mean_g, var_g = gn_stats(x, num_groups)
+    return fold_from_moments(mean_g, var_g, scale, bias, x.shape[-1], eps)
 
 
 def _plan_bytes(h, w, cin, cout, r, cc, has_res, es):
@@ -139,7 +162,7 @@ def _band_plan(h, w, cin, cout, has_res, es=2):
             break
         cc //= 2
     for cc in ccs:
-        for r in (16, 8):
+        for r in (16, 8, 4):
             if h % r == 0 and h // r >= 2 and _band_bytes(
                     h, w, cin, cout, r, cc, has_res, es) * 1.1 \
                     <= _BAND_BUDGET:

@@ -110,11 +110,13 @@ def ensure_fused_kernels_usable() -> dict:
 
     if _enabled("gn_conv"):
         try:
-            # the largest supported UNet ResBlock plans per tier (batch 1;
-            # the per-cell footprint is batch-independent): whole-image
-            # tier (64/32/8) + the streaming-band tier (64², Cin 960)
+            # the largest supported ResBlock plans per tier (batch 1; the
+            # per-cell footprint is batch-independent): whole-image tier
+            # (64/32/8), the streaming-band tier (64² Cin 960), and the
+            # tightest VAE decoder band plan (512², r=4)
             for h, cin, cout in [(64, 320, 320), (32, 640, 640),
-                                 (8, 1280, 1280), (64, 960, 320)]:
+                                 (8, 1280, 1280), (64, 960, 320),
+                                 (512, 256, 128)]:
                 xg = jnp.ones((1, h, h, cin), jnp.bfloat16)
                 mu = jnp.ones((1, cin), jnp.float32)
                 wk = jnp.ones((3, 3, cin, cout), jnp.float32) * 0.01

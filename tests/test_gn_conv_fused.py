@@ -73,7 +73,7 @@ def test_band_kernel_interpret_col_chunks(monkeypatch):
     args = _args(h=16, w=8, cin=64, cout=256, seed=7)
     ref = gn_conv._ref(*args)
     monkeypatch.setattr(gn_conv, "_BUDGET", 100)
-    monkeypatch.setattr(gn_conv, "_BAND_BUDGET", 900_000)
+    monkeypatch.setattr(gn_conv, "_BAND_BUDGET", 800_000)
     plan = gn_conv._band_plan(16, 8, 64, 256, True, es=4)
     assert plan is not None and plan[1] < 256, plan
     monkeypatch.setattr(gn_conv, "_FORCE_KERNEL", True)
@@ -127,6 +127,68 @@ def test_resblock_fused_matches_legacy(monkeypatch, cout):
             err_msg=jax.tree_util.keystr(path))
         assert float(jnp.abs(jnp.asarray(b)).max()) > 0, \
             jax.tree_util.keystr(path)
+
+
+@pytest.mark.parametrize("cout", [32, 64])  # 32 = identity-shortcut path
+def test_vae_resnetblock_fused_matches_legacy(monkeypatch, cout):
+    from edtr_tpu.models.vae import ResnetBlock
+
+    monkeypatch.setattr(gn_conv, "_FORCE_KERNEL", True)
+    g = np.random.default_rng(9)
+    x = jnp.asarray(g.standard_normal((2, 16, 8, 32)), jnp.float32)
+    bf = ResnetBlock(out_channels=cout, fused=True)
+    bl = ResnetBlock(out_channels=cout, fused=False)
+    p = jax.jit(bl.init)(jax.random.PRNGKey(2), x)["params"]
+    p = jax.tree_util.tree_map(
+        lambda a: a + 0.05 * g.standard_normal(a.shape).astype(a.dtype), p)
+    pf = jax.jit(bf.init)(jax.random.PRNGKey(2), x)["params"]
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(pf))
+    of = jax.jit(lambda p, x: bf.apply({"params": p}, x))(p, x)
+    ol = jax.jit(lambda p, x: bl.apply({"params": p}, x))(p, x)
+    np.testing.assert_allclose(np.asarray(of), np.asarray(ol), atol=3e-6)
+    gf = jax.jit(jax.grad(
+        lambda p, x: (bf.apply({"params": p}, x) ** 2).mean()))(p, x)
+    gl = jax.jit(jax.grad(
+        lambda p, x: (bl.apply({"params": p}, x) ** 2).mean()))(p, x)
+    for (path, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(gf),
+                                 jax.tree_util.tree_leaves_with_path(gl)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_vae_resnetblock_fused_sows_gn_stats(monkeypatch):
+    """The tiled-VAE sync contract: fused blocks still sow gn_stats and
+    honor injected gn_moments (GroupNorm32 fold mode)."""
+    from edtr_tpu.models.vae import ResnetBlock
+
+    g = np.random.default_rng(10)
+    x = jnp.asarray(g.standard_normal((1, 8, 8, 32)), jnp.float32)
+    blk = ResnetBlock(out_channels=32, fused=True)
+    v = blk.init(jax.random.PRNGKey(0), x)
+    out, state = blk.apply({"params": v["params"]}, x, mutable=["gn_stats"])
+    stats = state["gn_stats"]
+    assert "norm1" in stats and "norm2" in stats
+    count, s1, s2 = stats["norm1"]["stats"]
+    assert float(count) == 8 * 8 * 1  # HW * C/G for C=32, G=32
+    # inject the self-consistent moments: output must be unchanged
+    mean1 = s1 / count
+    var1 = s2 / count - jnp.square(mean1)
+    out2 = blk.apply(
+        {"params": v["params"],
+         "gn_moments": {"norm1": {"mean": mean1, "var": var1}}},
+        x, mutable=["gn_stats"])[0]
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), atol=2e-5)
+
+
+def test_vae_decoder_band_plans():
+    """The 512²/256² VAE decoder blocks ride the band tier (bf16)."""
+    assert gn_conv._band_plan(512, 512, 128, 128, True) is not None
+    assert gn_conv._band_plan(512, 512, 256, 128, True) is not None
+    assert gn_conv._band_plan(256, 256, 512, 256, True) is not None
+    assert gn_conv._band_plan(128, 128, 512, 512, True) is not None
+    assert gn_conv.supported(64, 64, 512, 512)
 
 
 def test_flagship_plans():

@@ -204,6 +204,29 @@ print(f"ResBlock 64x64x320 fused vs legacy: err={rerr:.4f} "
       flush=True)
 assert rerr < 0.25, rerr
 
+# --- 2.76 VAE ResnetBlock fused vs legacy (decoder hot shapes, bs4) ---
+from edtr_tpu.models.vae import ResnetBlock as _VRB
+for hh, cin, cout in [(512, 128, 128), (512, 256, 128), (256, 512, 256)]:
+    if not _gnc.supported(hh, hh, cin, cout):
+        print(f"vae_rb {hh}x{hh} {cin}->{cout}: UNSUPPORTED", flush=True)
+        continue
+    xv = jax.random.normal(jax.random.PRNGKey(31), (4, hh, hh, cin),
+                           jnp.bfloat16)
+    vf = _VRB(out_channels=cout, dtype=jnp.bfloat16, fused=True)
+    vl = _VRB(out_channels=cout, dtype=jnp.bfloat16, fused=False)
+    pvr = jax.jit(vl.init)({"params": jax.random.PRNGKey(32)}, xv)["params"]
+    fvf = jax.jit(lambda p, x: vf.apply({"params": p}, x)).lower(
+        pvr, xv).compile()
+    fvl = jax.jit(lambda p, x: vl.apply({"params": p}, x)).lower(
+        pvr, xv).compile()
+    ovf = fvf(pvr, xv); ovl = fvl(pvr, xv)
+    ve = float(jnp.abs(ovf.astype(jnp.float32) - ovl.astype(jnp.float32)).max())
+    tvf = _tc(fvf, pvr, xv, iters=10) * 1e3
+    tvl = _tc(fvl, pvr, xv, iters=10) * 1e3
+    print(f"vae_rb {hh}x{hh} {cin}->{cout}: err={ve:.4f} fused {tvf:.3f} ms"
+          f"  legacy {tvl:.3f} ms  speedup {tvl/tvf:.2f}x", flush=True)
+    assert ve < 0.25, ve
+
 # --- 2.8 cost-analysis cross-check: pallas flops visible to XLA? ---
 def _fl(compiled):
     cost = compiled.cost_analysis()
