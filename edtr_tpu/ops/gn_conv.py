@@ -249,26 +249,34 @@ def _band_body(x_hbm, mul_ref, add_ref, w_ref, b_ref, emb_ref, res_ref,
     bi = pl.program_id(1)
     r = pl.program_id(2)
     r0 = r * r_rows
-    cp = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(r0, r_rows)],
-        band.at[pl.ds(1, r_rows), 1:w + 1, :], sem)
-    cp.start()
-    cp.wait()
+    # ONE branch-selected DMA per cell: interior cells pull R+2 rows (core
+    # + both halos); edge cells pull R+1 and leave the missing halo row to
+    # the post-affine zeroing below. nr >= 2 (plan invariant) keeps the
+    # branches exclusive.
 
-    @pl.when(r > 0)
-    def _top():
-        t = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(r0 - 1, 1)], band.at[0:1, 1:w + 1, :], sem)
-        t.start()
-        t.wait()
+    @pl.when((r > 0) & (r < nr - 1))
+    def _mid():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(r0 - 1, r_rows + 2)],
+            band.at[pl.ds(0, r_rows + 2), 1:w + 1, :], sem)
+        cp.start()
+        cp.wait()
 
-    @pl.when(r < nr - 1)
-    def _bot():
-        t = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(r0 + r_rows, 1)],
-            band.at[r_rows + 1:r_rows + 2, 1:w + 1, :], sem)
-        t.start()
-        t.wait()
+    @pl.when(r == 0)
+    def _first():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(0, r_rows + 1)],
+            band.at[pl.ds(1, r_rows + 1), 1:w + 1, :], sem)
+        cp.start()
+        cp.wait()
+
+    @pl.when(r == nr - 1)
+    def _last():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(r0 - 1, r_rows + 1)],
+            band.at[pl.ds(0, r_rows + 1), 1:w + 1, :], sem)
+        cp.start()
+        cp.wait()
 
     xi = band[:, 1:w + 1, :].astype(jnp.float32)
     a = xi * mul_ref[0][None, None, :] + add_ref[0][None, None, :]
