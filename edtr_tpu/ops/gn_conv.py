@@ -134,14 +134,23 @@ def _plan(h, w, cin, cout, has_res, es=2):
     return None
 
 
-# band tier: no whole-image scratch — stream (R+2)-row halo bands per cell.
-# Exact scratch accounting (no hidden double-buffering of the big pieces).
-_BAND_BUDGET = 11.5 * 2 ** 20
+# band tier: no whole-image scratch — stream (R+2)-row halo bands per cell
+# through an explicitly double-buffered pair of slabs (cell r's copy is
+# started by cell r-1, overlapping the HBM read with compute).
+_BAND_BUDGET = 12.2 * 2 ** 20
+
+
+def _band_enabled() -> bool:
+    import os
+
+    # separate kill-switch: a VMEM miss on a marginal band plan must not
+    # cost the (independently probed) whole-image tier
+    return os.environ.get("EDTR_GNCONV_BAND", "1") != "0"
 
 
 def _band_bytes(h, w, cin, cout, r, cc, has_res, es):
     j = cout // cc
-    band = (r + 2) * (w + 2) * cin * es            # streamed scratch
+    band = 2 * (r + 2) * (w + 2) * cin * es        # double-buffered slabs
     wbytes = 9 * cin * cc * es * (2 if j > 1 else 1)
     acc = r * w * cc * 4
     slab = r * w * cin * es
@@ -153,6 +162,8 @@ def _band_bytes(h, w, cin, cout, r, cc, has_res, es):
 def _band_plan(h, w, cin, cout, has_res, es=2):
     """(rows, cc) for the streaming-band kernel, or None."""
     if h < 16:  # needs >=2 row blocks; small maps fit the whole-image tier
+        return None
+    if not _band_enabled():
         return None
     cc = cout
     ccs = []
@@ -244,40 +255,66 @@ def _kernel_emb_res(x_hbm, mul_ref, add_ref, w_ref, b_ref, emb_ref, res_ref,
           o_ref, hpad, sem, h=h, w=w, r_rows=r_rows)
 
 
+def _band_copy(x_hbm, bands, sems, bi, r, *, w, r_rows, nr):
+    """Branch-selected copy descriptor for row-block ``r`` of image ``bi``
+    into slab buffer ``r % 2``: interior cells pull R+2 rows (core + both
+    halos); edge cells pull R+1 and leave the missing halo row to the
+    post-affine zeroing. nr >= 2 (plan invariant) keeps branches exclusive.
+    Built identically at start (prefetching cell) and wait (consuming
+    cell) — the standard cross-cell double-buffer pattern."""
+    r0 = r * r_rows
+    band = bands.at[r % 2]
+    sem = sems.at[r % 2]
+    mid = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(r0 - 1, r_rows + 2)],
+        band.at[pl.ds(0, r_rows + 2), 1:w + 1, :], sem)
+    first = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(0, r_rows + 1)],
+        band.at[pl.ds(1, r_rows + 1), 1:w + 1, :], sem)
+    last = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(r0 - 1, r_rows + 1)],
+        band.at[pl.ds(0, r_rows + 1), 1:w + 1, :], sem)
+    return first, mid, last
+
+
 def _band_body(x_hbm, mul_ref, add_ref, w_ref, b_ref, emb_ref, res_ref,
-               o_ref, band, sem, *, h, w, r_rows, nr):
+               o_ref, bands, sems, *, h, w, r_rows, nr):
     bi = pl.program_id(1)
     r = pl.program_id(2)
-    r0 = r * r_rows
-    # ONE branch-selected DMA per cell: interior cells pull R+2 rows (core
-    # + both halos); edge cells pull R+1 and leave the missing halo row to
-    # the post-affine zeroing below. nr >= 2 (plan invariant) keeps the
-    # branches exclusive.
+    first, mid, last = _band_copy(x_hbm, bands, sems, bi, r,
+                                  w=w, r_rows=r_rows, nr=nr)
+
+    # cell r's copy was started by cell r-1 (intra-image prefetch, below);
+    # only the first row block of each image self-loads
+    @pl.when(r == 0)
+    def _load_first():
+        first.start()
+        first.wait()
 
     @pl.when((r > 0) & (r < nr - 1))
-    def _mid():
-        cp = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(r0 - 1, r_rows + 2)],
-            band.at[pl.ds(0, r_rows + 2), 1:w + 1, :], sem)
-        cp.start()
-        cp.wait()
-
-    @pl.when(r == 0)
-    def _first():
-        cp = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(0, r_rows + 1)],
-            band.at[pl.ds(1, r_rows + 1), 1:w + 1, :], sem)
-        cp.start()
-        cp.wait()
+    def _wait_mid():
+        mid.wait()
 
     @pl.when(r == nr - 1)
-    def _last():
-        cp = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(r0 - 1, r_rows + 1)],
-            band.at[pl.ds(0, r_rows + 1), 1:w + 1, :], sem)
-        cp.start()
-        cp.wait()
+    def _wait_last():
+        last.wait()
 
+    # start the NEXT row block's copy into the other slab buffer so the
+    # HBM read overlaps this cell's compute
+    @pl.when(r + 1 < nr)
+    def _prefetch():
+        nmid, nlast = _band_copy(x_hbm, bands, sems, bi, r + 1,
+                                 w=w, r_rows=r_rows, nr=nr)[1:]
+
+        @pl.when(r + 1 < nr - 1)
+        def _pm():
+            nmid.start()
+
+        @pl.when(r + 1 == nr - 1)
+        def _pl():
+            nlast.start()
+
+    band = bands.at[r % 2]
     xi = band[:, 1:w + 1, :].astype(jnp.float32)
     a = xi * mul_ref[0][None, None, :] + add_ref[0][None, None, :]
     band[:, 1:w + 1, :] = jax.nn.silu(a.astype(band.dtype))
@@ -469,8 +506,8 @@ def _band_call(x, mul, add, w, b, emb, res, plan):
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, h, wd, cout), cdtype),
         scratch_shapes=[
-            pltpu.VMEM((r_rows + 2, wd + 2, cin), cdtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, r_rows + 2, wd + 2, cin), cdtype),  # double-buf
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(

@@ -109,14 +109,8 @@ def ensure_fused_kernels_usable() -> dict:
             _disable("ln_matmul", e)
 
     if _enabled("gn_conv"):
-        try:
-            # the largest supported ResBlock plans per tier (batch 1; the
-            # per-cell footprint is batch-independent): whole-image tier
-            # (64/32/8), the streaming-band tier (64² Cin 960), and the
-            # tightest VAE decoder band plan (512², r=4)
-            for h, cin, cout in [(64, 320, 320), (32, 640, 640),
-                                 (8, 1280, 1280), (64, 960, 320),
-                                 (512, 256, 128)]:
+        def _probe_gnconv(shapes):
+            for h, cin, cout in shapes:
                 xg = jnp.ones((1, h, h, cin), jnp.bfloat16)
                 mu = jnp.ones((1, cin), jnp.float32)
                 wk = jnp.ones((3, 3, cin, cout), jnp.float32) * 0.01
@@ -125,6 +119,20 @@ def ensure_fused_kernels_usable() -> dict:
                 rg = jnp.zeros((1, h, h, cout), jnp.bfloat16)
                 jax.block_until_ready(jax.jit(gn_conv.gn_silu_conv)(
                     xg, mu, 0 * mu, wk, bk, eg, rg))
+
+        # whole-image-tier worst cases (batch 1; the per-cell footprint is
+        # batch-independent)
+        try:
+            _probe_gnconv([(64, 320, 320), (32, 640, 640), (8, 1280, 1280)])
         except Exception as e:  # pragma: no cover - device-specific
             _disable("gn_conv", e)
+        # band-tier worst cases get their own kill-switch — a VMEM miss on
+        # a marginal band plan must not cost the whole-image tier
+        if _enabled("gn_conv") and gn_conv._band_enabled():
+            try:
+                _probe_gnconv([(64, 960, 320), (512, 256, 128)])
+            except Exception as e:  # pragma: no cover - device-specific
+                os.environ["EDTR_GNCONV_BAND"] = "0"
+                print(f"[kernel_probe] gn_conv band tier disabled: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
     return status()
