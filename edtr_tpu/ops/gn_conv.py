@@ -386,10 +386,19 @@ def _call(x, mul, add, w, b, emb, res):
     batch, h, wd, cin = x.shape
     cout = w.shape[-1]
     es = jnp.dtype(x.dtype).itemsize
-    plan = _plan(h, wd, cin, cout, res is not None, es)
-    band = None
-    if plan is None:
+    # tier preference: at h >= 16 the streaming-band kernel dominates the
+    # whole-image one (same HBM traffic, smaller scratch, prefetch overlap,
+    # usually a full-width N block); tiny maps (8²) keep the whole-image
+    # tier (fewer rows resident than 2 slabs, larger M per dot)
+    plan = band = None
+    if h >= 16:
         band = _band_plan(h, wd, cin, cout, res is not None, es)
+        if band is None:
+            plan = _plan(h, wd, cin, cout, res is not None, es)
+    else:
+        plan = _plan(h, wd, cin, cout, res is not None, es)
+        if plan is None:
+            band = _band_plan(h, wd, cin, cout, res is not None, es)
     if not (_use_kernel() and (plan is not None or band is not None)):
         return _ref(x, mul, add, w, b, emb, res)
     if plan is None:

@@ -120,17 +120,19 @@ def ensure_fused_kernels_usable() -> dict:
                 jax.block_until_ready(jax.jit(gn_conv.gn_silu_conv)(
                     xg, mu, 0 * mu, wk, bk, eg, rg))
 
-        # whole-image-tier worst cases (batch 1; the per-cell footprint is
-        # batch-independent)
+        # whole-image tier (h<16 dispatch; batch 1 — the per-cell footprint
+        # is batch-independent)
         try:
-            _probe_gnconv([(64, 320, 320), (32, 640, 640), (8, 1280, 1280)])
+            _probe_gnconv([(8, 1280, 1280)])
         except Exception as e:  # pragma: no cover - device-specific
             _disable("gn_conv", e)
         # band-tier worst cases get their own kill-switch — a VMEM miss on
-        # a marginal band plan must not cost the whole-image tier
+        # a marginal band plan degrades those shapes to the whole-image
+        # tier or the XLA reference, not the whole kernel
         if _enabled("gn_conv") and gn_conv._band_enabled():
             try:
-                _probe_gnconv([(64, 960, 320), (512, 256, 128)])
+                _probe_gnconv([(64, 320, 320), (32, 640, 640),
+                               (64, 960, 320), (512, 256, 128)])
             except Exception as e:  # pragma: no cover - device-specific
                 os.environ["EDTR_GNCONV_BAND"] = "0"
                 print(f"[kernel_probe] gn_conv band tier disabled: "

@@ -28,8 +28,10 @@ def _args(b=2, h=16, w=8, cin=64, cout=128, emb=True, res=True, seed=0):
 @pytest.mark.parametrize("emb,res", [(True, True), (True, False),
                                      (False, True), (False, False)])
 def test_kernel_interpret_matches_ref(monkeypatch, emb, res):
+    """Whole-image tier (band pinned off — dispatch prefers band at h>=16)."""
     args = _args(emb=emb, res=res)
     ref = gn_conv._ref(*args)
+    monkeypatch.setattr(gn_conv, "_BAND_BUDGET", 100)
     monkeypatch.setattr(gn_conv, "_FORCE_KERNEL", True)
     got = gn_conv.gn_silu_conv(*args)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
@@ -39,6 +41,7 @@ def test_kernel_interpret_chunked_grid(monkeypatch):
     """Small budget forces out-channel (j) and row (r) splits."""
     args = _args(h=32, w=8, cin=64, cout=256, seed=1)
     ref = gn_conv._ref(*args)
+    monkeypatch.setattr(gn_conv, "_BAND_BUDGET", 100)
     monkeypatch.setattr(gn_conv, "_BUDGET", 1_100_000)
     plan = gn_conv._plan(32, 8, 64, 256, True, es=4)
     assert plan is not None and (plan[0] < 32 or plan[1] < 256), plan

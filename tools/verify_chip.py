@@ -181,8 +181,11 @@ for hh, cin, cout in [(64, 320, 320), (64, 640, 320), (64, 960, 320),
     ge = float(jnp.abs(ok.astype(jnp.float32) - rk.astype(jnp.float32)).max())
     tk = _tc(fk, xg, mu, ad, wk, bk, eg, rg, iters=10) * 1e3
     tr = _tc(fr, xg, mu, ad, wk, bk, eg, rg, iters=10) * 1e3
-    print(f"gn_conv {hh}x{hh} {cin}->{cout}: err={ge:.4f} pallas {tk:.3f} ms"
-          f"  xla {tr:.3f} ms  speedup {tr/tk:.2f}x", flush=True)
+    tier = "band" if (hh >= 16 and _gnc._band_plan(hh, hh, cin, cout, True)
+                      is not None) else "whole"
+    print(f"gn_conv {hh}x{hh} {cin}->{cout} [{tier}]: err={ge:.4f} "
+          f"pallas {tk:.3f} ms  xla {tr:.3f} ms  speedup {tr/tk:.2f}x",
+          flush=True)
     assert ge < 0.25, ge
 # full ResBlock module fused-vs-legacy at the flagship 64² level
 xb = jax.random.normal(jax.random.PRNGKey(21), (8, 64, 64, 320), jnp.bfloat16)
