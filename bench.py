@@ -425,6 +425,12 @@ def _report(dt, total_flops, detnet, image_size, stages=None, stage_flops=None):
         # rounds <=2 underreported MFU: XLA cost analysis counts the K-step
         # denoise scan body once; flops here scale it by K
         "flops_accounting": "scan body x K",
+        # which optional fused Pallas kernels were active (the
+        # fail-safe probe flips these off instead of crashing; idempotent)
+        "fused_kernels": __import__(
+            "edtr_tpu.ops.kernel_probe",
+            fromlist=["ensure_fused_kernels_usable"]
+        ).ensure_fused_kernels_usable(),
     }
     if stages is not None:
         rec["stages_ms_per_img"] = stages

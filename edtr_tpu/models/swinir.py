@@ -35,9 +35,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from edtr_tpu.models.layers import (DenseParams, LayerNorm, LNParams,
-                                    conv, dense)
-from edtr_tpu.ops import swin_block
+from edtr_tpu.models.layers import (ConvParams, DenseParams, LayerNorm,
+                                    LNParams, conv, dense)
+from edtr_tpu.ops import gn_conv, swin_block
 from edtr_tpu.ops.window_attention import window_attention
 
 Dtype = Any
@@ -400,14 +400,17 @@ class SwinIR(nn.Module):
         if self.upsampler == "nearest+conv":
             feat = conv(num_feat, 3, padding=1, dtype=self.dtype, name="conv_before_upsample_0")(feat)
             feat = jax.nn.leaky_relu(feat, negative_slope=0.01)  # nn.LeakyReLU(inplace=True) default slope
-            feat = _nearest2x(feat)
-            feat = lrelu(conv(num_feat, 3, padding=1, dtype=self.dtype, name="conv_up1")(feat))
+            # nearest-2x + conv + lrelu fused: the 2x tensor never touches
+            # HBM (ops/gn_conv.py:upsample_conv; XLA reference inside)
+            def up_conv(v, name):
+                w, b = ConvParams(3, 3, num_feat, num_feat, name=name)()
+                return gn_conv.upsample_conv(v, w, b, "lrelu")
+
+            feat = up_conv(feat, "conv_up1")
             if self.sf >= 4:
-                feat = _nearest2x(feat)
-                feat = lrelu(conv(num_feat, 3, padding=1, dtype=self.dtype, name="conv_up2")(feat))
+                feat = up_conv(feat, "conv_up2")
             if self.sf == 8:
-                feat = _nearest2x(feat)
-                feat = lrelu(conv(num_feat, 3, padding=1, dtype=self.dtype, name="conv_up3")(feat))
+                feat = up_conv(feat, "conv_up3")
             feat = lrelu(conv(num_feat, 3, padding=1, dtype=self.dtype, name="conv_hr")(feat))
             out = conv(self.in_chans, 3, padding=1, dtype=self.dtype, name="conv_last")(feat)
         elif self.upsampler == "pixelshuffle":

@@ -107,7 +107,10 @@ class Downsample(nn.Module):
 
 
 class Upsample(nn.Module):
-    """Nearest 2x + conv (``conv_resample=True``); ``model/unet.py:50-79``."""
+    """Nearest 2x + conv (``conv_resample=True``); ``model/unet.py:50-79``.
+
+    The conv consumes the 2x tensor straight from VMEM
+    (ops/gn_conv.py:upsample_conv; XLA reference fallback inside)."""
 
     out_channels: int
     use_conv: bool = True
@@ -115,10 +118,12 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nearest_upsample_2x(x)
         if self.use_conv:
-            x = conv(self.out_channels, 3, padding=1, dtype=self.dtype, name="conv")(x)
-        return x
+            w, b = ConvParams(3, 3, x.shape[-1], self.out_channels,
+                              name="conv")()
+            return gn_conv.upsample_conv(
+                x.astype(self.dtype or x.dtype), w, b)
+        return nearest_upsample_2x(x)
 
 
 def _heads_for(ch: int, num_head_channels: int, num_heads: int) -> Tuple[int, int]:

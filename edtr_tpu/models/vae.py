@@ -117,13 +117,16 @@ class Downsample(nn.Module):
 
 
 class Upsample(nn.Module):
+    """Nearest 2x + conv; the 2x tensor never touches HBM
+    (ops/gn_conv.py:upsample_conv; XLA reference fallback inside)."""
+
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        x = nearest_upsample_2x(x)
-        return conv(c, 3, padding=1, dtype=self.dtype, name="conv")(x)
+        w, b = ConvParams(3, 3, c, c, name="conv")()
+        return gn_conv.upsample_conv(x.astype(self.dtype or x.dtype), w, b)
 
 
 class Encoder(nn.Module):

@@ -531,6 +531,227 @@ def _band_call(x, mul, add, w, b, emb, res, plan):
     )(*operands)
 
 
+# ---------------------------------------------------------------------------
+# nearest-2x upsample + conv3x3 (VAE/UNet Upsample, SwinIR tail): the 4x
+# upsampled tensor never touches HBM — each cell DMAs a (R/2+2)-row slab of
+# the LOW-res image and synthesizes the padded hi-res band in VMEM
+# (row-repeat on the untiled axis, width-repeat on sublanes).
+# ---------------------------------------------------------------------------
+
+
+def _ups_enabled() -> bool:
+    import os
+
+    return os.environ.get("EDTR_UPSCONV_FUSED", "1") != "0"
+
+
+def _ups_bytes(h2, w2, cin, cout, r, cc, es):
+    j = cout // cc
+    slab = 2 * (r // 2 + 2) * (w2 // 2) * cin * es  # double-buffered low slabs
+    band = (r + 2) * (w2 + 2) * cin * es            # synthesized value
+    wbytes = 9 * cin * cc * es * (2 if j > 1 else 1)
+    acc = r * w2 * cc * 4
+    out = r * w2 * cc * es * 2
+    return slab + band + wbytes + acc + out
+
+
+def _ups_plan(h2, w2, cin, cout, es=2):
+    """(hi-res rows per cell, cc) for upsample_conv, or None.
+
+    h2/w2 are the OUTPUT (2x) sizes; rows per cell must be even (each low
+    row feeds two band rows) and >=2 row blocks must exist.
+    """
+    if not _ups_enabled() or h2 < 16 or w2 % 2 or h2 % 2:
+        return None
+    cc = cout
+    ccs = []
+    while True:
+        ccs.append(cc)
+        if cc % 2 or cc // 2 < 128:
+            break
+        cc //= 2
+    for cc in ccs:
+        for r in (16, 8, 4):
+            if h2 % r == 0 and h2 // r >= 2 and _ups_bytes(
+                    h2, w2, cin, cout, r, cc, es) * 1.1 <= _BAND_BUDGET:
+                return r, cc
+    return None
+
+
+def _ups_copy(x_hbm, slabs, sems, bi, r, *, rl, w2):
+    """Copy descriptors for hi-res row-block ``r``: low rows
+    [r*rl/... see _ups_kernel] into slab buffer ``r % 2``."""
+    wl = w2 // 2
+    rr = rl  # low rows per core block = r_rows // 2
+    a0 = r * rr - 1
+    slab = slabs.at[r % 2]
+    sem = sems.at[r % 2]
+    mid = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(a0, rr + 2)],
+        slab.at[pl.ds(0, rr + 2), 0:wl, :], sem)
+    first = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(0, rr + 1)],
+        slab.at[pl.ds(1, rr + 1), 0:wl, :], sem)
+    last = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(a0, rr + 1)],
+        slab.at[pl.ds(0, rr + 1), 0:wl, :], sem)
+    return first, mid, last
+
+
+def _ups_act(o, act):
+    if act == "lrelu":
+        # torch nn.LeakyReLU(0.2) — the SwinIR nearest+conv tail
+        return jax.nn.leaky_relu(o, negative_slope=0.2)
+    return o
+
+
+def _ups_kernel(x_hbm, w_ref, b_ref, o_ref, slabs, sems,
+                *, h2, w2, r_rows, nr, act):
+    bi = pl.program_id(1)
+    r = pl.program_id(2)
+    rl = r_rows // 2
+    first, mid, last = _ups_copy(x_hbm, slabs, sems, bi, r, rl=rl, w2=w2)
+
+    @pl.when(r == 0)
+    def _load_first():
+        first.start()
+        first.wait()
+
+    @pl.when((r > 0) & (r < nr - 1))
+    def _wait_mid():
+        mid.wait()
+
+    @pl.when(r == nr - 1)
+    def _wait_last():
+        last.wait()
+
+    @pl.when(r + 1 < nr)
+    def _prefetch():
+        nmid, nlast = _ups_copy(x_hbm, slabs, sems, bi, r + 1,
+                                rl=rl, w2=w2)[1:]
+
+        @pl.when(r + 1 < nr - 1)
+        def _pm():
+            nmid.start()
+
+        @pl.when(r + 1 == nr - 1)
+        def _pl():
+            nlast.start()
+
+    slab = slabs.at[r % 2]
+
+    # rows not covered by the edge copies must read as conv zeros
+    @pl.when(r == 0)
+    def _z0():
+        slab[0:1] = jnp.zeros_like(slab[0:1])
+
+    @pl.when(r == nr - 1)
+    def _z1():
+        slab[rl + 1:rl + 2] = jnp.zeros_like(slab[rl + 1:rl + 2])
+
+    sl = slab[...]                                   # (rl+2, wl, C)
+    # hi-res band rows [r*R-1, r*R+R+1): up row u = low[u//2]; with the
+    # slab holding low rows [r*rl-1, ...], the row pattern over the slab is
+    # [0, 1, 1, 2, 2, ...] = repeat(slab, 2)[1 : R+3]
+    rows = jnp.repeat(sl, 2, axis=0)[1:r_rows + 3]   # (R+2, wl, C)
+    wide = jnp.repeat(rows, 2, axis=1)               # (R+2, w2, C)
+    band = jnp.pad(wide, ((0, 0), (1, 1), (0, 0)))   # (R+2, w2+2, C)
+    # the repeated edge rows duplicate the zero row correctly; the very
+    # first band row at r==0 is up-row -1 (conv pad) = slab row 0 = zero ✓
+
+    cc = o_ref.shape[-1]
+    acc = jnp.zeros((r_rows, w2, cc), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            acc = acc + jax.lax.dot_general(
+                band[ky:ky + r_rows, kx:kx + w2, :], w_ref[ky, kx],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    o_ref[0] = _ups_act(acc.astype(o_ref.dtype)
+                        + b_ref[0][None, None, :].astype(o_ref.dtype), act)
+
+
+def _ups_ref(x, w, b, act):
+    cdtype = x.dtype
+    bsz, hl, wl, c = x.shape
+    up = jnp.broadcast_to(x[:, :, None, :, None, :],
+                          (bsz, hl, 2, wl, 2, c)).reshape(
+                              bsz, hl * 2, wl * 2, c)
+    o = jax.lax.conv_general_dilated(
+        up, w.astype(cdtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return _ups_act(o + b.astype(cdtype), act)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def upsample_conv(x, w, b, act=None):
+    """``act(conv3x3(nearest_upsample_2x(x)) + b)`` (NHWC, pad 1).
+
+    Parity: ``Upsample`` blocks (reference ``model/vae.py:87-94`` /
+    ``model/unet.py:50-79``) and the SwinIR nearest+conv tail
+    (``model/swinir.py:856-894``, ``act="lrelu"`` = LeakyReLU(0.2)).
+
+    Args:
+      x: (B, H, W, C) LOW-res input in compute dtype.
+      w: (3, 3, C, Cout) fp32 HWIO kernel; b: (Cout,) fp32 bias.
+      act: None or "lrelu" (applied in compute dtype, epilogue-fused).
+    Returns:
+      (B, 2H, 2W, Cout) in x.dtype.
+    """
+    batch, hl, wl, cin = x.shape
+    cout = w.shape[-1]
+    es = jnp.dtype(x.dtype).itemsize
+    plan = _ups_plan(hl * 2, wl * 2, cin, cout, es)
+    if not (_use_kernel() and plan is not None):
+        return _ups_ref(x, w, b, act)
+    r_rows, cc = plan
+    cdtype = x.dtype
+    h2, w2 = hl * 2, wl * 2
+    jblk = cout // cc
+    nr = h2 // r_rows
+    return pl.pallas_call(
+        functools.partial(_ups_kernel, h2=h2, w2=w2, r_rows=r_rows, nr=nr,
+                          act=act),
+        grid=(jblk, batch, nr),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                   # x (DMA'd)
+            pl.BlockSpec((3, 3, cin, cc), lambda j, bi, r: (0, 0, 0, j),
+                         memory_space=pltpu.VMEM),               # w
+            pl.BlockSpec((1, cc), lambda j, bi, r: (0, j),
+                         memory_space=pltpu.VMEM),               # bias
+        ],
+        out_specs=pl.BlockSpec(
+            (1, r_rows, w2, cc), lambda j, bi, r: (bi, r, 0, j),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, h2, w2, cout), cdtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, r_rows // 2 + 2, wl, cin), cdtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * h2 * w2 * 9 * cin * cout,
+            bytes_accessed=(batch * (hl * wl * cin * jblk
+                                     + h2 * w2 * cout)
+                            * jnp.dtype(cdtype).itemsize
+                            + 9 * cin * cout * 2 * max(jblk, 1)),
+            transcendentals=0,
+        ),
+    )(x, w.astype(cdtype), b.reshape(1, cout))
+
+
+def _ups_fwd(x, w, b, act):
+    return upsample_conv(x, w, b, act), (x, w, b)
+
+
+def _ups_bwd(act, res, g):
+    _, vjp = jax.vjp(lambda *a: _ups_ref(*a, act), *res)
+    return vjp(g)
+
+
+upsample_conv.defvjp(_ups_fwd, _ups_bwd)
+
+
 @jax.custom_vjp
 def gn_silu_conv(x, mul, add, w, b, emb, res):
     """``conv3x3(silu(x*mul + add)) + b [+ emb] [+ res]`` (NHWC, pad 1).

@@ -27,6 +27,7 @@ _SWITCHES = {
     "geglu": "EDTR_GEGLU_FUSED",
     "ln_matmul": "EDTR_LNMM_FUSED",
     "gn_conv": "EDTR_GNCONV_FUSED",
+    "ups_conv": "EDTR_UPSCONV_FUSED",
 }
 
 
@@ -44,12 +45,16 @@ def ensure_fused_kernels_usable() -> dict:
     import jax
     import jax.numpy as jnp
 
-    status = lambda: {k: _enabled(k) for k in _SWITCHES}
+    from edtr_tpu.ops import geglu, gn_conv, ln_matmul, swin_block
+
+    def status():
+        s = {k: _enabled(k) for k in _SWITCHES}
+        s["gn_conv_band"] = s["gn_conv"] and gn_conv._band_enabled()
+        return s
+
     if jax.default_backend() != "tpu" or _PROBED:
         return status()
     _PROBED = True
-
-    from edtr_tpu.ops import geglu, gn_conv, ln_matmul, swin_block
 
     def _disable(name, exc):
         os.environ[_SWITCHES[name]] = "0"
@@ -137,4 +142,17 @@ def ensure_fused_kernels_usable() -> dict:
                 os.environ["EDTR_GNCONV_BAND"] = "0"
                 print(f"[kernel_probe] gn_conv band tier disabled: "
                       f"{type(e).__name__}: {e}", file=sys.stderr)
+
+    if _enabled("ups_conv"):
+        try:
+            # VAE up_1 (256²->512², the tightest r=4 plan) + UNet 32²->64²
+            for hl, cin, cout in [(256, 256, 256), (32, 640, 640)]:
+                xu = jnp.ones((1, hl, hl, cin), jnp.bfloat16)
+                wu = jnp.ones((3, 3, cin, cout), jnp.float32) * 0.01
+                bu = jnp.zeros((cout,), jnp.float32)
+                jax.block_until_ready(jax.jit(
+                    lambda *a: gn_conv.upsample_conv(*a, "lrelu"))(
+                        xu, wu, bu))
+        except Exception as e:  # pragma: no cover - device-specific
+            _disable("ups_conv", e)
     return status()

@@ -84,6 +84,52 @@ def test_band_kernel_interpret_col_chunks(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("act", [None, "lrelu"])
+def test_upsample_conv_interpret_matches_ref(monkeypatch, act):
+    g = np.random.default_rng(11)
+    x = jnp.asarray(g.standard_normal((2, 16, 8, 32)), jnp.float32)
+    w = jnp.asarray(g.standard_normal((3, 3, 32, 64)) * 0.05, jnp.float32)
+    b = jnp.asarray(g.standard_normal(64) * 0.1, jnp.float32)
+    ref = gn_conv._ups_ref(x, w, b, act)
+    monkeypatch.setattr(gn_conv, "_FORCE_KERNEL", True)
+    assert gn_conv._ups_plan(32, 16, 32, 64, es=4) is not None
+    got = gn_conv.upsample_conv(x, w, b, act)
+    assert got.shape == (2, 32, 16, 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_upsample_conv_grads_and_chunks(monkeypatch):
+    g = np.random.default_rng(12)
+    x = jnp.asarray(g.standard_normal((1, 8, 8, 32)), jnp.float32)
+    w = jnp.asarray(g.standard_normal((3, 3, 32, 256)) * 0.05, jnp.float32)
+    b = jnp.asarray(g.standard_normal(256) * 0.1, jnp.float32)
+    ref = gn_conv._ups_ref(x, w, b, None)
+    monkeypatch.setattr(gn_conv, "_BAND_BUDGET", 500_000)
+    plan = gn_conv._ups_plan(16, 16, 32, 256, es=4)
+    assert plan is not None and plan[1] < 256, plan
+    monkeypatch.setattr(gn_conv, "_FORCE_KERNEL", True)
+    got = gn_conv.upsample_conv(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    gk = jax.jit(jax.grad(
+        lambda x, w, b: (gn_conv.upsample_conv(x, w, b) ** 2).mean(),
+        argnums=(0, 1, 2)))(x, w, b)
+    gr = jax.jit(jax.grad(
+        lambda x, w, b: (gn_conv._ups_ref(x, w, b, None) ** 2).mean(),
+        argnums=(0, 1, 2)))(x, w, b)
+    for a, r in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-5)
+
+
+def test_upsample_plans():
+    """VAE decoder + SwinIR tail upsample shapes ride the fused kernel."""
+    assert gn_conv._ups_plan(512, 512, 256, 256) is not None  # VAE up_1
+    assert gn_conv._ups_plan(256, 256, 512, 512) is not None  # VAE up_2
+    assert gn_conv._ups_plan(128, 128, 512, 512) is not None  # VAE up_3
+    assert gn_conv._ups_plan(64, 64, 640, 640) is not None    # UNet 32->64
+    assert gn_conv._ups_plan(512, 512, 64, 64) is not None    # SwinIR tail
+    assert gn_conv._ups_plan(14, 14, 64, 64) is None          # odd: fallback
+
+
 def test_gn_fold_matches_groupnorm32():
     """x*mul+add == GroupNorm32 apply, same channel-sum stat formulation."""
     g = np.random.default_rng(3)

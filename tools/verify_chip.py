@@ -230,6 +230,31 @@ for hh, cin, cout in [(512, 128, 128), (512, 256, 128), (256, 512, 256)]:
           f"  legacy {tvl:.3f} ms  speedup {tvl/tvf:.2f}x", flush=True)
     assert ve < 0.25, ve
 
+# --- 2.77 fused nearest-2x upsample + conv (VAE ups / SwinIR tail, bs4) ---
+for hl, cin, cout, act in [(256, 256, 256, None), (128, 512, 512, None),
+                           (256, 64, 64, "lrelu")]:
+    if _gnc._ups_plan(hl * 2, hl * 2, cin, cout) is None:
+        print(f"ups_conv {hl}->{hl*2} {cin}->{cout}: UNSUPPORTED", flush=True)
+        continue
+    xu = jax.random.normal(jax.random.PRNGKey(41), (4, hl, hl, cin),
+                           jnp.bfloat16)
+    wu = jnp.asarray(_np.random.default_rng(42).standard_normal(
+        (3, 3, cin, cout)) * 0.02, jnp.float32)
+    bu = jnp.asarray(_np.random.default_rng(43).standard_normal(cout) * 0.05,
+                     jnp.float32)
+    fu = jax.jit(lambda *a: _gnc.upsample_conv(*a, act)).lower(
+        xu, wu, bu).compile()
+    fru = jax.jit(lambda *a: _gnc._ups_ref(*a, act)).lower(
+        xu, wu, bu).compile()
+    ou = fu(xu, wu, bu); ru = fru(xu, wu, bu)
+    ue = float(jnp.abs(ou.astype(jnp.float32) - ru.astype(jnp.float32)).max())
+    tu = _tc(fu, xu, wu, bu, iters=10) * 1e3
+    tru = _tc(fru, xu, wu, bu, iters=10) * 1e3
+    print(f"ups_conv {hl}->{hl*2} {cin}->{cout} act={act}: err={ue:.4f} "
+          f"pallas {tu:.3f} ms  xla {tru:.3f} ms  speedup {tru/tu:.2f}x",
+          flush=True)
+    assert ue < 0.25, ue
+
 # --- 2.8 cost-analysis cross-check: pallas flops visible to XLA? ---
 def _fl(compiled):
     cost = compiled.cost_analysis()
