@@ -1,16 +1,18 @@
 """Fail-safe probe for the optional fused Pallas kernels.
 
-The fused swin-block / GEGLU / LN+GEMM kernels are default-on on TPU with
-pure-XLA reference fallbacks selected at dispatch time. A Mosaic lowering
-regression (new jaxlib, new TPU generation) or a VMEM budget miss would
-otherwise surface as a compile failure in the middle of a big model build;
-entry points that must never hard-fail (bench.py, ``__graft_entry__.entry``)
-call :func:`ensure_fused_kernels_usable` first — it compiles each kernel
-once at the flagship worst-case per-grid-cell shapes (batch 1: the cell
-footprint is batch-independent) and flips the corresponding
-``EDTR_*_FUSED=0`` kill-switch on failure, so the run proceeds on the
-reference paths at worst. Diagnostics go to stderr (bench.py's stdout is
-one JSON line by contract).
+The fused swin-block / GEGLU / LN+GEMM / GN+conv / upsample+conv kernels are
+default-on on TPU with pure-XLA reference fallbacks selected at dispatch
+time. A Mosaic lowering regression (new jaxlib, new TPU generation) or a
+VMEM budget miss would otherwise surface as a compile failure in the middle
+of a big model build; entry points that must never hard-fail (bench.py,
+``__graft_entry__.entry``) call :func:`ensure_fused_kernels_usable` first —
+it runs each kernel once at the flagship worst-case per-grid-cell shapes
+(batch 1: the cell footprint is batch-independent) on varied random inputs,
+compares the result against the module's own XLA reference math, and flips
+the corresponding ``EDTR_*_FUSED=0`` kill-switch on a compile failure OR a
+numeric mismatch — so the run proceeds on the reference paths at worst and
+a silently-wrong kernel can never ship numbers. Diagnostics go to stderr
+(bench.py's stdout is one JSON line by contract).
 """
 
 from __future__ import annotations
@@ -30,16 +32,51 @@ _SWITCHES = {
     "ups_conv": "EDTR_UPSCONV_FUSED",
 }
 
+# max |fused - ref| / max |ref|. Both paths accumulate in fp32 but round
+# intermediates to bf16 in different orders, so a few e-3 is normal
+# (measured 4e-3 for the swin kernels on a v5e); indexing/halo/shift bugs
+# show up as O(1) relative error.
+_TOL = 0.06
+
 
 def _enabled(name: str) -> bool:
     return os.environ.get(_SWITCHES[name], "1") != "0"
 
 
-def ensure_fused_kernels_usable() -> dict:
-    """Probe-compile the fused kernels on the default backend (idempotent).
+def _mismatch(fused, ref) -> float:
+    """Relative max error across all output leaves (host-side floats)."""
+    import jax
+    import jax.numpy as jnp
 
-    Returns {kernel_name: bool usable-and-enabled}. No-op on CPU (dispatch
-    already falls back there) and for kernels whose kill-switch is pre-set.
+    err = 0.0
+    for f, r in zip(jax.tree_util.tree_leaves(fused),
+                    jax.tree_util.tree_leaves(ref)):
+        rf = jnp.asarray(r, jnp.float32)
+        scale = float(jnp.max(jnp.abs(rf))) + 1e-6
+        err = max(err, float(jnp.max(jnp.abs(
+            jnp.asarray(f, jnp.float32) - rf))) / scale)
+    return err
+
+
+def _check(fused_fn, ref_fn, args) -> None:
+    """Run fused vs reference on device; raise on numeric mismatch."""
+    import jax
+
+    fused = jax.block_until_ready(jax.jit(fused_fn)(*args))
+    ref = jax.block_until_ready(jax.jit(ref_fn)(*args))
+    err = _mismatch(fused, ref)
+    if err > _TOL:
+        raise ValueError(f"numeric mismatch vs XLA reference: "
+                         f"rel_err={err:.3g} > {_TOL}")
+
+
+def ensure_fused_kernels_usable() -> dict:
+    """Probe each fused kernel on the default backend (idempotent).
+
+    Compiles AND numerically validates every kernel at flagship worst-case
+    per-cell shapes; returns {kernel_name: bool usable-and-enabled}. No-op
+    on CPU (dispatch already falls back there) and for kernels whose
+    kill-switch is pre-set.
     """
     global _PROBED
     import jax
@@ -61,69 +98,77 @@ def ensure_fused_kernels_usable() -> dict:
         print(f"[kernel_probe] fused {name} disabled: {type(exc).__name__}: "
               f"{exc}", file=sys.stderr)
 
+    keys = iter(jax.random.split(jax.random.PRNGKey(0), 256))
+
+    def rnd(shape, dtype=jnp.float32, scale=1.0):
+        return (jax.random.normal(next(keys), shape, jnp.float32)
+                * scale).astype(dtype)
+
     # flagship worst-case per-cell shapes: SwinIR 64x64 tokens C=180;
     # geglu / ln_matmul at the C=1280 transformer level
     if _enabled("swin_block"):
         try:
             h = w = 64
             win, c, hid = 8, 180, 360
-            x = jnp.ones((1, h * w, c), jnp.bfloat16)
-            one = jnp.ones((c,), jnp.float32)
-            wq = jnp.ones((c, 3 * c), jnp.float32) * 0.01
-            qkv_w, xr = jax.jit(
-                lambda *a: swin_block.swin_pre(*a, h, w, win, 4)
-            )(x, one, jnp.zeros((c,)), wq, jnp.zeros((3 * c,)))
+            x = rnd((1, h * w, c), jnp.bfloat16)
+            lns, lnb = rnd((c,), scale=0.5) + 1.0, rnd((c,), scale=0.1)
+            wq, bq = rnd((c, 3 * c), scale=0.05), rnd((3 * c,), scale=0.05)
+            pre = lambda *a: swin_block.swin_pre(*a, h, w, win, 4)
+            pre_ref = lambda *a: swin_block._pre_ref(*a, h, w, win, 4)
+            _check(pre, pre_ref, (x, lns, lnb, wq, bq))
+            qkv_w, xr = jax.jit(pre)(x, lns, lnb, wq, bq)
             attn = qkv_w[..., :c]
-            ws = [jnp.ones((c, c)) * 0.01, jnp.zeros((c,)),
-                  one, jnp.zeros((c,)),
-                  jnp.ones((c, hid)) * 0.01, jnp.zeros((hid,)),
-                  jnp.ones((hid, c)) * 0.01, jnp.zeros((c,))]
-            jax.block_until_ready(jax.jit(
-                lambda *a: swin_block.swin_post(*a, h, w, win))(attn, xr, *ws))
+            ws = [rnd((c, c), scale=0.05), rnd((c,), scale=0.05),
+                  rnd((c,), scale=0.5) + 1.0, rnd((c,), scale=0.1),
+                  rnd((c, hid), scale=0.05), rnd((hid,), scale=0.05),
+                  rnd((hid, c), scale=0.05), rnd((c,), scale=0.05)]
+            post = lambda *a: swin_block.swin_post(*a, h, w, win)
+            post_ref = lambda *a: swin_block._post_ref(*a, h, w, win)
+            _check(post, post_ref, (attn, xr, *ws))
         except Exception as e:  # pragma: no cover - device-specific
             _disable("swin_block", e)
 
     if _enabled("geglu"):
         try:
             c, inner = 1280, 5120
-            xg = jnp.ones((1, geglu._SEQ_TILE, c), jnp.bfloat16)
-            wg = jnp.ones((c, inner), jnp.float32) * 0.01
-            bg = jnp.zeros((inner,))
-            sg = jnp.ones((c,), jnp.float32)
-            jax.block_until_ready(
-                jax.jit(geglu.geglu_proj)(xg, wg, wg, bg, bg))
-            jax.block_until_ready(
-                jax.jit(geglu.ln_geglu_proj)(xg, sg, 0 * sg, wg, wg, bg, bg))
+            xg = rnd((1, geglu._SEQ_TILE, c), jnp.bfloat16)
+            wh, wg = rnd((c, inner), scale=0.03), rnd((c, inner), scale=0.03)
+            bh, bg = rnd((inner,), scale=0.05), rnd((inner,), scale=0.05)
+            sg = rnd((c,), scale=0.5) + 1.0
+            bsg = rnd((c,), scale=0.1)
+            _check(geglu.geglu_proj, geglu._ref, (xg, wh, wg, bh, bg))
+            _check(geglu.ln_geglu_proj, geglu._ln_ref,
+                   (xg, sg, bsg, wh, wg, bh, bg))
         except Exception as e:  # pragma: no cover - device-specific
             _disable("geglu", e)
 
     if _enabled("ln_matmul"):
         try:
             c = 1280
-            xl = jnp.ones((1, ln_matmul._SEQ_TILE, c), jnp.bfloat16)
-            sl = jnp.ones((c,), jnp.float32)
-            wl = jnp.ones((c, c), jnp.float32) * 0.01
-            jax.block_until_ready(jax.jit(
-                lambda *a: ln_matmul.ln_matmuls(*a))(
-                    xl, sl, 0 * sl, wl, wl, wl))
-            jax.block_until_ready(jax.jit(
-                lambda *a: ln_matmul.affine_matmul(*a))(
-                    xl, sl.reshape(1, c), 0 * sl.reshape(1, c), wl,
-                    jnp.zeros((c,), jnp.float32)))
+            xl = rnd((1, ln_matmul._SEQ_TILE, c), jnp.bfloat16)
+            sl, bl = rnd((c,), scale=0.5) + 1.0, rnd((c,), scale=0.1)
+            w3 = [rnd((c, c), scale=0.03) for _ in range(3)]
+            _check(lambda *a: ln_matmul.ln_matmuls(*a),
+                   lambda *a: ln_matmul._ref(*a), (xl, sl, bl, *w3))
+            _check(lambda *a: ln_matmul.affine_matmul(*a),
+                   lambda *a: ln_matmul._aff_ref(*a),
+                   (xl, (sl + 0.5).reshape(1, c), bl.reshape(1, c),
+                    w3[0], rnd((c,), scale=0.05)))
         except Exception as e:  # pragma: no cover - device-specific
             _disable("ln_matmul", e)
 
     if _enabled("gn_conv"):
         def _probe_gnconv(shapes):
             for h, cin, cout in shapes:
-                xg = jnp.ones((1, h, h, cin), jnp.bfloat16)
-                mu = jnp.ones((1, cin), jnp.float32)
-                wk = jnp.ones((3, 3, cin, cout), jnp.float32) * 0.01
-                bk = jnp.zeros((cout,), jnp.float32)
-                eg = jnp.ones((1, cout), jnp.bfloat16)
-                rg = jnp.zeros((1, h, h, cout), jnp.bfloat16)
-                jax.block_until_ready(jax.jit(gn_conv.gn_silu_conv)(
-                    xg, mu, 0 * mu, wk, bk, eg, rg))
+                xg = rnd((1, h, h, cin), jnp.bfloat16)
+                mu = rnd((1, cin), scale=0.5) + 1.0
+                ad = rnd((1, cin), scale=0.2)
+                wk = rnd((3, 3, cin, cout), scale=0.02)
+                bk = rnd((cout,), scale=0.05)
+                eg = rnd((1, cout), jnp.bfloat16, scale=0.2)
+                rg = rnd((1, h, h, cout), jnp.bfloat16, scale=0.5)
+                _check(gn_conv.gn_silu_conv, gn_conv._ref,
+                       (xg, mu, ad, wk, bk, eg, rg))
 
         # whole-image tier (h<16 dispatch; batch 1 — the per-cell footprint
         # is batch-independent)
@@ -147,12 +192,12 @@ def ensure_fused_kernels_usable() -> dict:
         try:
             # VAE up_1 (256²->512², the tightest r=4 plan) + UNet 32²->64²
             for hl, cin, cout in [(256, 256, 256), (32, 640, 640)]:
-                xu = jnp.ones((1, hl, hl, cin), jnp.bfloat16)
-                wu = jnp.ones((3, 3, cin, cout), jnp.float32) * 0.01
-                bu = jnp.zeros((cout,), jnp.float32)
-                jax.block_until_ready(jax.jit(
-                    lambda *a: gn_conv.upsample_conv(*a, "lrelu"))(
-                        xu, wu, bu))
+                xu = rnd((1, hl, hl, cin), jnp.bfloat16)
+                wu = rnd((3, 3, cin, cout), scale=0.02)
+                bu = rnd((cout,), scale=0.05)
+                _check(lambda *a: gn_conv.upsample_conv(*a, "lrelu"),
+                       lambda *a: gn_conv._ups_ref(*a, "lrelu"),
+                       (xu, wu, bu))
         except Exception as e:  # pragma: no cover - device-specific
             _disable("ups_conv", e)
     return status()
