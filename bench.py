@@ -141,6 +141,13 @@ def main() -> None:
     # honor an explicit JAX_PLATFORMS=cpu (CI / sanity runs) anyway
     if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # a relay outage makes the first device touch hang forever; fail
+        # fast (bounded wait + one subprocess probe) instead — the kernel
+        # probe below is that first touch
+        from edtr_tpu.utils.tunnel import ensure_tpu_reachable
+
+        ensure_tpu_reachable()
 
     # fail-safe: a Mosaic regression in the optional fused kernels must
     # degrade to the XLA reference paths, never crash the bench
