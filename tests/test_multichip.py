@@ -75,13 +75,24 @@ def test_sharded_swinir_pre_step_matches_unsharded():
 
 
 @pytest.mark.golden
-def test_sharded_edtr_full_step_matches_unsharded():
+@pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2)],
+                         ids=["dp8", "dp4xtp2"])
+def test_sharded_edtr_full_step_matches_unsharded(n_data, n_model):
     """Full EDTR two-optimizer step (incl. tiny detnet: detection losses,
-    NMS, RoIAlign) sharded over the 8-device mesh == unsharded, fp32."""
+    NMS, RoIAlign) sharded over the 8-device mesh == unsharded, fp32.
+
+    The dp4xtp2 case is the mesh ``dryrun_multichip`` runs by default:
+    batch over "data", transformer/ResBlock GEMMs Megatron-split over
+    "model" (edtr_tpu/parallel/tp.py)."""
     from __graft_entry__ import _flagship_pipeline, _init_params, _tiny_detnet
+    from edtr_tpu.parallel.mesh import make_mesh
+    from edtr_tpu.parallel.tp import shard_params
     from edtr_tpu.train.edtr_step import EDTRTrainState, make_edtr_train_step
 
-    mesh = _mesh(8)
+    devices = jax.devices("cpu")
+    if len(devices) < n_data * n_model:
+        pytest.skip(f"need {n_data * n_model} virtual devices")
+    mesh = make_mesh(n_data, n_model, devices=devices[: n_data * n_model])
     image_size = 64
     pipe = _flagship_pipeline(dtype=None, tiny=True)  # fp32 for tight compare
     params = _init_params(pipe, jax.random.PRNGKey(0), image_size)
@@ -116,6 +127,8 @@ def test_sharded_edtr_full_step_matches_unsharded():
         if mesh_ is None:
             _, metrics = step(state, batch, jax.random.PRNGKey(1))
             return metrics
+        if n_model > 1:
+            state = shard_params(state, mesh_)
         with mesh_:
             _, metrics = step(state, batch, jax.random.PRNGKey(1))
             return metrics
