@@ -59,12 +59,30 @@ def supported(seq: int, inner: int) -> bool:
     return seq % _SEQ_TILE == 0 and inner % _col_tile(inner) == 0
 
 
+def _erf_f32(x):
+    """fp32 erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7).
+
+    Mosaic has no erf/erfc lowering (probed on-chip); this polynomial uses
+    only exp and stays ~50x below bf16 output resolution.
+    """
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact_f32(x):
+    return 0.5 * x * (1.0 + _erf_f32(x * (2.0 ** -0.5)))
+
+
 def _geglu_tile(x, wh_ref, wg_ref, bh_ref, bg_ref, out_dtype):
     a = jnp.dot(x, wh_ref[...], preferred_element_type=jnp.float32)
     a = a + bh_ref[...].astype(jnp.float32)
     g = jnp.dot(x, wg_ref[...], preferred_element_type=jnp.float32)
     g = g + bg_ref[...].astype(jnp.float32)
-    return (a * jax.nn.gelu(g, approximate=False)).astype(out_dtype)
+    return (a * _gelu_exact_f32(g)).astype(out_dtype)
 
 
 def _kernel(x_ref, wh_ref, wg_ref, bh_ref, bg_ref, o_ref):

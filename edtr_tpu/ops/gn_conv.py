@@ -102,26 +102,41 @@ def gn_fold(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
 
 def _plan_bytes(h, w, cin, cout, r, cc, has_res, es):
     j = cout // cc
-    hpad = (h + 2) * (w + 2) * cin * es                 # persistent scratch
+    hpad = (h + 2) * w * cin * es                       # persistent scratch
     wbytes = 9 * cin * cc * es * (2 if j > 1 else 1)    # blocked by j
     acc = r * w * cc * 4                                # f32 accumulator
-    slab = r * w * cin * es * 2                         # tap operand (+copy)
+    win = (r + 2) * (w + 2) * cin * es * 2              # padded window regs
+    slab = r * w * cin * es                             # tap operand
     out = r * w * cc * es * 2                           # double-buffered
     res = r * w * cc * es * 2 if has_res else 0
-    return hpad + wbytes + acc + slab + out + res
+    return hpad + wbytes + acc + win + slab + out + res
 
 
-def _plan(h, w, cin, cout, has_res, es=2):
+def _lanes_ok(cin: int, strict_lanes) -> bool:
+    """TPU HBM buffers are physically (8,128)-tiled; the manual image DMA
+    slices the channel (lane) dim, and Mosaic requires such slices
+    128-aligned (measured on-chip: cin=320 rejected, 640 ok). Non-multiple
+    shapes (UNet 320/960 levels, SwinIR's 64-ch tail) fall back to XLA.
+    Interpret mode has no such restriction, so CPU tests may exercise small
+    channels; pass ``strict_lanes=True`` to pin real-TPU behavior."""
+    if strict_lanes is None:
+        strict_lanes = not _interpret()
+    return (cin % 128 == 0) or not strict_lanes
+
+
+def _plan(h, w, cin, cout, has_res, es=2, strict_lanes=None):
     """Pick (rows-per-cell, out-channel block) or None if nothing fits."""
     if h < 4 or w < 4:
         return None
-    ccs = []
-    cc = cout
-    while cc >= 128 and cc % 2 == 0 or cc == cout:
-        ccs.append(cc)
-        if cc % 2 or cc // 2 < 128:
-            break
-        cc //= 2
+    if not _lanes_ok(cin, strict_lanes):
+        return None
+    # out-channel blocks are pipeline-copied along the lane dim: partial
+    # blocks must be 128-aligned (cout=1280 with cc=160 was rejected
+    # on-chip), so candidates are the 128-multiple divisors of cout,
+    # largest first (fewer weight re-reads)
+    ccs = [c for c in range(128, cout + 1, 128) if cout % c == 0][::-1]
+    if not ccs:
+        ccs = [cout]  # only the full (unsliced) block is legal
     for cc in ccs:
         r = h
         while r >= min(h, 8):
@@ -150,28 +165,30 @@ def _band_enabled() -> bool:
 
 def _band_bytes(h, w, cin, cout, r, cc, has_res, es):
     j = cout // cc
-    band = 2 * (r + 2) * (w + 2) * cin * es        # double-buffered slabs
+    band = 2 * (r + 2) * w * cin * es              # double-buffered slabs
+    # transient f32 affine/silu value (the bf16 padded copy reuses the
+    # tap-operand slab accounting below)
+    win = (r + 2) * (w + 2) * cin * 4
     wbytes = 9 * cin * cc * es * (2 if j > 1 else 1)
     acc = r * w * cc * 4
     slab = r * w * cin * es
     out = r * w * cc * es * 2
     res = r * w * cc * es * 2 if has_res else 0
-    return band + wbytes + acc + slab + out + res
+    return band + win + wbytes + acc + slab + out + res
 
 
-def _band_plan(h, w, cin, cout, has_res, es=2):
+def _band_plan(h, w, cin, cout, has_res, es=2, strict_lanes=None):
     """(rows, cc) for the streaming-band kernel, or None."""
     if h < 16:  # needs >=2 row blocks; small maps fit the whole-image tier
         return None
+    if not _lanes_ok(cin, strict_lanes):
+        return None
     if not _band_enabled():
         return None
-    cc = cout
-    ccs = []
-    while True:
-        ccs.append(cc)
-        if cc % 2 or cc // 2 < 128:
-            break
-        cc //= 2
+    # 128-multiple divisors of cout, largest first (see _plan)
+    ccs = [c for c in range(128, cout + 1, 128) if cout % c == 0][::-1]
+    if not ccs:
+        ccs = [cout]
     for cc in ccs:
         for r in (16, 8, 4):
             if h % r == 0 and h // r >= 2 and _band_bytes(
@@ -182,9 +199,11 @@ def _band_plan(h, w, cin, cout, has_res, es=2):
 
 
 def supported(h: int, w: int, cin: int, cout: int,
-              has_res: bool = True) -> bool:
-    return (_plan(h, w, cin, cout, has_res) is not None
-            or _band_plan(h, w, cin, cout, has_res) is not None)
+              has_res: bool = True, strict_lanes=None) -> bool:
+    return (_plan(h, w, cin, cout, has_res,
+                  strict_lanes=strict_lanes) is not None
+            or _band_plan(h, w, cin, cout, has_res,
+                          strict_lanes=strict_lanes) is not None)
 
 
 def _epilogue(acc, b_ref, emb_ref, res_ref, out_dtype):
@@ -193,7 +212,7 @@ def _epilogue(acc, b_ref, emb_ref, res_ref, out_dtype):
     the compute dtype)."""
     out = acc.astype(out_dtype) + b_ref[0][None, None, :].astype(out_dtype)
     if emb_ref is not None:
-        out = out + emb_ref[0][None, None, :].astype(out_dtype)
+        out = out + emb_ref[0, 0][None, None, :].astype(out_dtype)
     if res_ref is not None:
         out = out + res_ref[0]
     return out
@@ -201,30 +220,39 @@ def _epilogue(acc, b_ref, emb_ref, res_ref, out_dtype):
 
 def _body(x_hbm, mul_ref, add_ref, w_ref, b_ref, emb_ref, res_ref,
           o_ref, hpad, sem, *, h, w, r_rows):
+    # scratch layout: (h+2, w, cin) — row halos only. The DMA destination
+    # may slice ONLY untiled leading dims (Mosaic requires memref slices
+    # along the last two (tiled) dims to be tile-aligned); the conv's width
+    # padding is synthesized per cell in registers via jnp.pad instead.
     bi = pl.program_id(0)
     j = pl.program_id(1)
     r = pl.program_id(2)
 
     @pl.when((j == 0) & (r == 0))
     def _prep():
-        cp = pltpu.make_async_copy(
-            x_hbm.at[bi], hpad.at[1:h + 1, 1:w + 1, :], sem)
+        cp = pltpu.make_async_copy(x_hbm.at[bi], hpad.at[pl.ds(1, h)], sem)
         cp.start()
         cp.wait()
         hpad[0:1] = jnp.zeros_like(hpad[0:1])
         hpad[h + 1:h + 2] = jnp.zeros_like(hpad[h + 1:h + 2])
-        hpad[:, 0:1] = jnp.zeros_like(hpad[:, 0:1])
-        hpad[:, w + 1:w + 2] = jnp.zeros_like(hpad[:, w + 1:w + 2])
-        xi = hpad[1:h + 1, 1:w + 1, :].astype(jnp.float32)
-        a = xi * mul_ref[0][None, None, :] + add_ref[0][None, None, :]
-        # cast-then-SiLU: matches GroupNorm32 (casts after affine) + silu
-        hpad[1:h + 1, 1:w + 1, :] = jax.nn.silu(a.astype(hpad.dtype))
+        xi = hpad[pl.ds(1, h)].astype(jnp.float32)
+        a = xi * mul_ref[0, 0][None, None, :] + add_ref[0, 0][None, None, :]
+        # cast-then-SiLU: matches GroupNorm32 (casts after affine) + silu.
+        # The sigmoid itself runs in fp32 on the bf16-rounded value —
+        # Mosaic's bf16 logistic lowering hits a vector.broadcast
+        # element-type verifier bug (f32 -> vector<bf16>), and XLA upcasts
+        # bf16 transcendentals internally anyway.
+        ar = a.astype(hpad.dtype)
+        hpad[pl.ds(1, h)] = jax.nn.silu(
+            ar.astype(jnp.float32)).astype(hpad.dtype)
 
     cc = o_ref.shape[-1]
+    win = hpad[pl.ds(r * r_rows, r_rows + 2)]        # (R+2, w, cin)
+    wpad = jnp.pad(win, ((0, 0), (1, 1), (0, 0)))    # conv zero columns
     acc = jnp.zeros((r_rows, w, cc), jnp.float32)
     for ky in range(3):
         for kx in range(3):
-            slab = hpad[pl.ds(r * r_rows + ky, r_rows), pl.ds(kx, w), :]
+            slab = wpad[ky:ky + r_rows, kx:kx + w, :]
             acc = acc + jax.lax.dot_general(
                 slab, w_ref[ky, kx], (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -265,15 +293,17 @@ def _band_copy(x_hbm, bands, sems, bi, r, *, w, r_rows, nr):
     r0 = r * r_rows
     band = bands.at[r % 2]
     sem = sems.at[r % 2]
+    # destinations slice only the (untiled) row dim — see _body's note on
+    # Mosaic's tile-alignment rule for memref slices
     mid = pltpu.make_async_copy(
         x_hbm.at[bi, pl.ds(r0 - 1, r_rows + 2)],
-        band.at[pl.ds(0, r_rows + 2), 1:w + 1, :], sem)
+        band.at[pl.ds(0, r_rows + 2)], sem)
     first = pltpu.make_async_copy(
         x_hbm.at[bi, pl.ds(0, r_rows + 1)],
-        band.at[pl.ds(1, r_rows + 1), 1:w + 1, :], sem)
+        band.at[pl.ds(1, r_rows + 1)], sem)
     last = pltpu.make_async_copy(
         x_hbm.at[bi, pl.ds(r0 - 1, r_rows + 1)],
-        band.at[pl.ds(0, r_rows + 1), 1:w + 1, :], sem)
+        band.at[pl.ds(0, r_rows + 1)], sem)
     return first, mid, last
 
 
@@ -314,24 +344,19 @@ def _band_body(x_hbm, mul_ref, add_ref, w_ref, b_ref, emb_ref, res_ref,
         def _pl():
             nlast.start()
 
-    band = bands.at[r % 2]
-    xi = band[:, 1:w + 1, :].astype(jnp.float32)
-    a = xi * mul_ref[0][None, None, :] + add_ref[0][None, None, :]
-    band[:, 1:w + 1, :] = jax.nn.silu(a.astype(band.dtype))
-
-    # edge halo rows and the side pad columns must be conv ZEROS (the
-    # affine above would otherwise turn them into silu(add))
-    @pl.when(r == 0)
-    def _z0():
-        band[0:1] = jnp.zeros_like(band[0:1])
-
-    @pl.when(r == nr - 1)
-    def _z1():
-        band[r_rows + 1:r_rows + 2] = jnp.zeros_like(
-            band[r_rows + 1:r_rows + 2])
-
-    band[:, 0:1] = jnp.zeros_like(band[:, 0:1])
-    band[:, w + 1:w + 2] = jnp.zeros_like(band[:, w + 1:w + 2])
+    sl = bands[r % 2]                                # (R+2, w, cin)
+    xi = sl.astype(jnp.float32)
+    a = xi * mul_ref[0, 0][None, None, :] + add_ref[0, 0][None, None, :]
+    # fp32 sigmoid on the bf16-rounded value (Mosaic bf16-logistic
+    # verifier bug; see the whole-image tier note)
+    s = jax.nn.silu(a.astype(sl.dtype).astype(jnp.float32))
+    # edge halo rows must be conv ZEROS: slab row i holds global row
+    # r*R - 1 + i; rows outside [0, h) are the missing halo (cell 0 row 0,
+    # last cell row R+1 — which its edge copy also leaves unfilled)
+    gi = r * r_rows - 1 + jax.lax.broadcasted_iota(
+        jnp.int32, (r_rows + 2, 1, 1), 0)
+    s = jnp.where((gi >= 0) & (gi < h), s, 0.0).astype(sl.dtype)
+    band = jnp.pad(s, ((0, 0), (1, 1), (0, 0)))      # conv zero columns
 
     cc = o_ref.shape[-1]
     acc = jnp.zeros((r_rows, w, cc), jnp.float32)
@@ -410,17 +435,21 @@ def _call(x, mul, add, w, b, emb, res):
     grid = (batch, jblk, nr)
 
     in_specs = [
-        pl.BlockSpec(memory_space=pl.ANY),                       # x (DMA'd)
-        pl.BlockSpec((1, cin), lambda bi, j, r: (bi, 0),
+        pl.BlockSpec(memory_space=pltpu.HBM),                    # x (DMA src)
+        # mul/add/emb ride as (B, 1, C) with (1, 1, C) blocks: a 2-D (1, C)
+        # block over (B, C) breaks Mosaic's sublane rule (second-to-last
+        # block dim must divide 8 or equal the array dim)
+        pl.BlockSpec((1, 1, cin), lambda bi, j, r: (bi, 0, 0),
                      memory_space=pltpu.VMEM),                   # mul
-        pl.BlockSpec((1, cin), lambda bi, j, r: (bi, 0),
+        pl.BlockSpec((1, 1, cin), lambda bi, j, r: (bi, 0, 0),
                      memory_space=pltpu.VMEM),                   # add
         pl.BlockSpec((3, 3, cin, cc), lambda bi, j, r: (0, 0, 0, j),
                      memory_space=pltpu.VMEM),                   # w
         pl.BlockSpec((1, cc), lambda bi, j, r: (0, j),
                      memory_space=pltpu.VMEM),                   # bias
     ]
-    operands = [x, mul, add, w.astype(cdtype), b.reshape(1, cout)]
+    operands = [x, mul.reshape(batch, 1, cin), add.reshape(batch, 1, cin),
+                w.astype(cdtype), b.reshape(1, cout)]
     if emb is not None and res is not None:
         kern = _kernel_emb_res
     elif emb is not None:
@@ -430,9 +459,9 @@ def _call(x, mul, add, w, b, emb, res):
     else:
         kern = _kernel_plain
     if emb is not None:
-        in_specs.append(pl.BlockSpec((1, cc), lambda bi, j, r: (bi, j),
+        in_specs.append(pl.BlockSpec((1, 1, cc), lambda bi, j, r: (bi, 0, j),
                                      memory_space=pltpu.VMEM))
-        operands.append(emb)
+        operands.append(emb.reshape(batch, 1, cout))
     if res is not None:
         in_specs.append(pl.BlockSpec(
             (1, r_rows, wd, cc), lambda bi, j, r: (bi, r, 0, j),
@@ -448,7 +477,7 @@ def _call(x, mul, add, w, b, emb, res):
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, h, wd, cout), cdtype),
         scratch_shapes=[
-            pltpu.VMEM((h + 2, wd + 2, cin), cdtype),
+            pltpu.VMEM((h + 2, wd, cin), cdtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_interpret(),
@@ -477,17 +506,19 @@ def _band_call(x, mul, add, w, b, emb, res, plan):
     grid = (jblk, batch, nr)
 
     in_specs = [
-        pl.BlockSpec(memory_space=pl.ANY),                       # x (DMA'd)
-        pl.BlockSpec((1, cin), lambda j, bi, r: (bi, 0),
+        pl.BlockSpec(memory_space=pltpu.HBM),                    # x (DMA src)
+        # (B, 1, C) carriers — see the whole-image tier's sublane note
+        pl.BlockSpec((1, 1, cin), lambda j, bi, r: (bi, 0, 0),
                      memory_space=pltpu.VMEM),                   # mul
-        pl.BlockSpec((1, cin), lambda j, bi, r: (bi, 0),
+        pl.BlockSpec((1, 1, cin), lambda j, bi, r: (bi, 0, 0),
                      memory_space=pltpu.VMEM),                   # add
         pl.BlockSpec((3, 3, cin, cc), lambda j, bi, r: (0, 0, 0, j),
                      memory_space=pltpu.VMEM),                   # w
         pl.BlockSpec((1, cc), lambda j, bi, r: (0, j),
                      memory_space=pltpu.VMEM),                   # bias
     ]
-    operands = [x, mul, add, w.astype(cdtype), b.reshape(1, cout)]
+    operands = [x, mul.reshape(batch, 1, cin), add.reshape(batch, 1, cin),
+                w.astype(cdtype), b.reshape(1, cout)]
     if emb is not None and res is not None:
         kern = _band_emb_res
     elif emb is not None:
@@ -497,9 +528,9 @@ def _band_call(x, mul, add, w, b, emb, res, plan):
     else:
         kern = _band_plain
     if emb is not None:
-        in_specs.append(pl.BlockSpec((1, cc), lambda j, bi, r: (bi, j),
+        in_specs.append(pl.BlockSpec((1, 1, cc), lambda j, bi, r: (bi, 0, j),
                                      memory_space=pltpu.VMEM))
-        operands.append(emb)
+        operands.append(emb.reshape(batch, 1, cout))
     if res is not None:
         in_specs.append(pl.BlockSpec(
             (1, r_rows, wd, cc), lambda j, bi, r: (bi, r, 0, j),
@@ -515,7 +546,7 @@ def _band_call(x, mul, add, w, b, emb, res, plan):
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, h, wd, cout), cdtype),
         scratch_shapes=[
-            pltpu.VMEM((2, r_rows + 2, wd + 2, cin), cdtype),  # double-buf
+            pltpu.VMEM((2, r_rows + 2, wd, cin), cdtype),  # double-buf
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
@@ -555,7 +586,7 @@ def _ups_bytes(h2, w2, cin, cout, r, cc, es):
     return slab + band + wbytes + acc + out
 
 
-def _ups_plan(h2, w2, cin, cout, es=2):
+def _ups_plan(h2, w2, cin, cout, es=2, strict_lanes=None):
     """(hi-res rows per cell, cc) for upsample_conv, or None.
 
     h2/w2 are the OUTPUT (2x) sizes; rows per cell must be even (each low
@@ -563,13 +594,12 @@ def _ups_plan(h2, w2, cin, cout, es=2):
     """
     if not _ups_enabled() or h2 < 16 or w2 % 2 or h2 % 2:
         return None
-    cc = cout
-    ccs = []
-    while True:
-        ccs.append(cc)
-        if cc % 2 or cc // 2 < 128:
-            break
-        cc //= 2
+    if not _lanes_ok(cin, strict_lanes):
+        return None
+    # 128-multiple divisors of cout, largest first (see _plan)
+    ccs = [c for c in range(128, cout + 1, 128) if cout % c == 0][::-1]
+    if not ccs:
+        ccs = [cout]
     for cc in ccs:
         for r in (16, 8, 4):
             if h2 % r == 0 and h2 // r >= 2 and _ups_bytes(
@@ -714,7 +744,7 @@ def upsample_conv(x, w, b, act=None):
                           act=act),
         grid=(jblk, batch, nr),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),                   # x (DMA'd)
+            pl.BlockSpec(memory_space=pltpu.HBM),                # x (DMA src)
             pl.BlockSpec((3, 3, cin, cc), lambda j, bi, r: (0, 0, 0, j),
                          memory_space=pltpu.VMEM),               # w
             pl.BlockSpec((1, cc), lambda j, bi, r: (0, j),

@@ -147,8 +147,8 @@ ln_matmuls.defvjp(_fwd, _bwd)
 
 
 def _aff_kernel(x_ref, m_ref, a_ref, w_ref, b_ref, o_ref):
-    xa = (x_ref[0].astype(jnp.float32) * m_ref[...]
-          + a_ref[...]).astype(x_ref.dtype)
+    xa = (x_ref[0].astype(jnp.float32) * m_ref[0]
+          + a_ref[0]).astype(x_ref.dtype)
     o = jnp.dot(xa, w_ref[...], preferred_element_type=jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype) + b_ref[...].astype(o_ref.dtype)
 
@@ -192,9 +192,12 @@ def affine_matmul(x, mul, add, w, b):
         in_specs=[
             pl.BlockSpec((1, ts, c), lambda i, s, j: (i, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, s, j: (i, 0),
+            # (B, 1, C) with a (1, 1, C) block: a 2-D (1, C) block over a
+            # (B, C) array violates Mosaic's sublane rule (second-to-last
+            # block dim must divide 8 or equal the array dim)
+            pl.BlockSpec((1, 1, c), lambda i, s, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, s, j: (i, 0),
+            pl.BlockSpec((1, 1, c), lambda i, s, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, oc), lambda i, s, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -210,7 +213,8 @@ def affine_matmul(x, mul, add, w, b):
             bytes_accessed=2 * (bsz * n * (c * (o // oc) + o) + c * o),
             transcendentals=0,
         ),
-    )(x, mul, add, w.astype(cdtype), b.reshape(1, o))
+    )(x, mul.reshape(bsz, 1, c), add.reshape(bsz, 1, c),
+      w.astype(cdtype), b.reshape(1, o))
 
 
 def _aff_fwd(x, mul, add, w, b):

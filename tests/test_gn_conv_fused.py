@@ -121,12 +121,17 @@ def test_upsample_conv_grads_and_chunks(monkeypatch):
 
 
 def test_upsample_plans():
-    """VAE decoder + SwinIR tail upsample shapes ride the fused kernel."""
-    assert gn_conv._ups_plan(512, 512, 256, 256) is not None  # VAE up_1
-    assert gn_conv._ups_plan(256, 256, 512, 512) is not None  # VAE up_2
-    assert gn_conv._ups_plan(128, 128, 512, 512) is not None  # VAE up_3
-    assert gn_conv._ups_plan(64, 64, 640, 640) is not None    # UNet 32->64
-    assert gn_conv._ups_plan(512, 512, 64, 64) is not None    # SwinIR tail
+    """VAE decoder upsample shapes ride the fused kernel (strict_lanes=True
+    pins real-TPU dispatch: HBM DMA lane slices must be 128-aligned)."""
+    S = dict(strict_lanes=True)
+    assert gn_conv._ups_plan(512, 512, 256, 256, **S) is not None  # VAE up_1
+    assert gn_conv._ups_plan(256, 256, 512, 512, **S) is not None  # VAE up_2
+    assert gn_conv._ups_plan(128, 128, 512, 512, **S) is not None  # VAE up_3
+    assert gn_conv._ups_plan(64, 64, 640, 640, **S) is not None    # UNet
+    # SwinIR's 64-channel tail: lane rule rejects on TPU (XLA fallback),
+    # interpret mode may still exercise it
+    assert gn_conv._ups_plan(512, 512, 64, 64, **S) is None
+    assert gn_conv._ups_plan(512, 512, 64, 64, strict_lanes=False) is not None
     assert gn_conv._ups_plan(14, 14, 64, 64) is None          # odd: fallback
 
 
@@ -232,27 +237,36 @@ def test_vae_resnetblock_fused_sows_gn_stats(monkeypatch):
 
 
 def test_vae_decoder_band_plans():
-    """The 512²/256² VAE decoder blocks ride the band tier (bf16)."""
-    assert gn_conv._band_plan(512, 512, 128, 128, True) is not None
-    assert gn_conv._band_plan(512, 512, 256, 128, True) is not None
-    assert gn_conv._band_plan(256, 256, 512, 256, True) is not None
-    assert gn_conv._band_plan(128, 128, 512, 512, True) is not None
-    assert gn_conv.supported(64, 64, 512, 512)
+    """The 512²/256² VAE decoder blocks ride the band tier (bf16), pinned
+    at real-TPU dispatch (strict_lanes=True)."""
+    S = dict(strict_lanes=True)
+    assert gn_conv._band_plan(512, 512, 128, 128, True, **S) is not None
+    assert gn_conv._band_plan(512, 512, 256, 128, True, **S) is not None
+    assert gn_conv._band_plan(256, 256, 512, 256, True, **S) is not None
+    assert gn_conv._band_plan(128, 128, 512, 512, True, **S) is not None
+    assert gn_conv.supported(64, 64, 512, 512, **S)
 
 
 def test_flagship_plans():
-    """The plans the probe/bench rely on: supported hot shapes stay
-    supported, oversize shapes fall back (never a surprise compile)."""
-    assert gn_conv.supported(64, 64, 320, 320)
-    assert gn_conv.supported(32, 32, 640, 640)
-    assert gn_conv.supported(8, 8, 1280, 1280)
-    # 64² decoder concat blocks ride the streaming-band tier
-    assert gn_conv._plan(64, 64, 640, 320, True) is None
-    assert gn_conv._band_plan(64, 64, 640, 320, True) is not None
-    assert gn_conv._band_plan(64, 64, 960, 320, True) is not None
-    assert not gn_conv.supported(16, 16, 2560, 1280)  # falls back to XLA
-    # VAE decode scale fits the band tier (future use; UNet never sees it)
-    assert gn_conv._band_plan(512, 512, 128, 128, True) is not None
+    """The plans the probe/bench rely on, pinned at real-TPU dispatch:
+    supported hot shapes stay supported, lane-rule and oversize shapes fall
+    back (never a surprise compile). On-chip validation: smoke_kernels_chip
+    (all four UNet levels + VAE/SwinIR upsample + proj kernels)."""
+    S = dict(strict_lanes=True)
+    # UNet level-0 (cin=320) violates the HBM DMA lane rule -> XLA fallback
+    assert not gn_conv.supported(64, 64, 320, 320, **S)
+    assert gn_conv.supported(64, 64, 320, 320, strict_lanes=False)
+    assert gn_conv.supported(32, 32, 640, 640, **S)
+    assert gn_conv.supported(16, 16, 1280, 1280, **S)
+    assert gn_conv.supported(8, 8, 1280, 1280, **S)
+    # 64² decoder concat blocks: 640-in rides the band tier (full-cout
+    # out block), 960-in violates the lane rule
+    assert gn_conv._plan(64, 64, 640, 320, True, **S) is None
+    assert gn_conv._band_plan(64, 64, 640, 320, True, **S) is not None
+    assert gn_conv._band_plan(64, 64, 960, 320, True, **S) is None
+    assert not gn_conv.supported(16, 16, 2560, 1280, **S)  # XLA fallback
+    # VAE decode scale fits the band tier
+    assert gn_conv._band_plan(512, 512, 128, 128, True, **S) is not None
 
 
 def test_unsupported_falls_back(monkeypatch):
