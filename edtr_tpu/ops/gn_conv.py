@@ -635,6 +635,16 @@ def _ups_act(o, act):
     return o
 
 
+def _ups_act_kernel(o, act):
+    """In-kernel activation: the compare runs in fp32 on the rounded value
+    (Mosaic rejects bf16 vector cmpf on this target; lrelu is an exact
+    rescale, so fp32-compute + round matches the bf16 path)."""
+    if act == "lrelu":
+        return jax.nn.leaky_relu(
+            o.astype(jnp.float32), negative_slope=0.2).astype(o.dtype)
+    return o
+
+
 def _ups_kernel(x_hbm, w_ref, b_ref, o_ref, slabs, sems,
                 *, h2, w2, r_rows, nr, act):
     bi = pl.program_id(1)
@@ -697,8 +707,9 @@ def _ups_kernel(x_hbm, w_ref, b_ref, o_ref, slabs, sems,
                 band[ky:ky + r_rows, kx:kx + w2, :], w_ref[ky, kx],
                 (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-    o_ref[0] = _ups_act(acc.astype(o_ref.dtype)
-                        + b_ref[0][None, None, :].astype(o_ref.dtype), act)
+    o_ref[0] = _ups_act_kernel(
+        acc.astype(o_ref.dtype)
+        + b_ref[0][None, None, :].astype(o_ref.dtype), act)
 
 
 def _ups_ref(x, w, b, act):

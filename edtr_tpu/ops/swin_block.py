@@ -221,7 +221,11 @@ def _post_body(a_slab, xr_slab, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2,
     xln = _layernorm_f32(x1, ln2s, ln2b, eps).astype(cdtype)
     h1 = jnp.dot(xln, w1, preferred_element_type=jnp.float32)
     h1 = h1 + b1.astype(jnp.float32)
-    gelu = jax.nn.gelu(h1, approximate=False).astype(cdtype)
+    # exact erf-GELU via the fp32 polynomial (Mosaic has no erf lowering;
+    # see ops/geglu.py:_erf_f32 — max abs err 1.5e-7, ~50x below bf16 ulp)
+    from edtr_tpu.ops.geglu import _gelu_exact_f32
+
+    gelu = _gelu_exact_f32(h1).astype(cdtype)
     o = jnp.dot(gelu, w2, preferred_element_type=jnp.float32)
     o = o + b2.astype(jnp.float32)
     return x1 + o.astype(cdtype)
