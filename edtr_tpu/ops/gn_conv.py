@@ -283,66 +283,70 @@ def _kernel_emb_res(x_hbm, mul_ref, add_ref, w_ref, b_ref, emb_ref, res_ref,
           o_ref, hpad, sem, h=h, w=w, r_rows=r_rows)
 
 
-def _band_copy(x_hbm, bands, sems, bi, r, *, w, r_rows, nr):
-    """Branch-selected copy descriptor for row-block ``r`` of image ``bi``
-    into slab buffer ``r % 2``: interior cells pull R+2 rows (core + both
-    halos); edge cells pull R+1 and leave the missing halo row to the
-    post-affine zeroing. nr >= 2 (plan invariant) keeps branches exclusive.
-    Built identically at start (prefetching cell) and wait (consuming
-    cell) — the standard cross-cell double-buffer pattern."""
+def _band_copy(x_hbm, bands, sems, bi, r, which, *, r_rows):
+    """ONE copy descriptor for row-block ``r`` of image ``bi`` into slab
+    buffer ``r % 2``: interior cells ("mid") pull R+2 rows (core + both
+    halos); edge cells ("first"/"last") pull R+1 and leave the missing halo
+    row to the post-affine zeroing. nr >= 2 (plan invariant) keeps branches
+    exclusive. Built identically at start (prefetching cell) and wait
+    (consuming cell) — the standard cross-cell double-buffer pattern.
+    Constructing only the branch-taken descriptor (``which`` is trace-time
+    static) keeps unused descriptors out of the trace — an unstarted
+    descriptor logs an 'AsyncCopyDescriptor was not used' ERROR per trace
+    (VERDICT r3 weak #5)."""
     r0 = r * r_rows
     band = bands.at[r % 2]
     sem = sems.at[r % 2]
     # destinations slice only the (untiled) row dim — see _body's note on
     # Mosaic's tile-alignment rule for memref slices
-    mid = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(r0 - 1, r_rows + 2)],
-        band.at[pl.ds(0, r_rows + 2)], sem)
-    first = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(0, r_rows + 1)],
-        band.at[pl.ds(1, r_rows + 1)], sem)
-    last = pltpu.make_async_copy(
+    if which == "mid":
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(r0 - 1, r_rows + 2)],
+            band.at[pl.ds(0, r_rows + 2)], sem)
+    if which == "first":
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(0, r_rows + 1)],
+            band.at[pl.ds(1, r_rows + 1)], sem)
+    assert which == "last"
+    return pltpu.make_async_copy(
         x_hbm.at[bi, pl.ds(r0 - 1, r_rows + 1)],
         band.at[pl.ds(0, r_rows + 1)], sem)
-    return first, mid, last
 
 
 def _band_body(x_hbm, mul_ref, add_ref, w_ref, b_ref, emb_ref, res_ref,
                o_ref, bands, sems, *, h, w, r_rows, nr):
     bi = pl.program_id(1)
     r = pl.program_id(2)
-    first, mid, last = _band_copy(x_hbm, bands, sems, bi, r,
-                                  w=w, r_rows=r_rows, nr=nr)
+    mk = functools.partial(_band_copy, x_hbm, bands, sems, bi,
+                           r_rows=r_rows)
 
     # cell r's copy was started by cell r-1 (intra-image prefetch, below);
     # only the first row block of each image self-loads
     @pl.when(r == 0)
     def _load_first():
+        first = mk(r, "first")
         first.start()
         first.wait()
 
     @pl.when((r > 0) & (r < nr - 1))
     def _wait_mid():
-        mid.wait()
+        mk(r, "mid").wait()
 
     @pl.when(r == nr - 1)
     def _wait_last():
-        last.wait()
+        mk(r, "last").wait()
 
     # start the NEXT row block's copy into the other slab buffer so the
     # HBM read overlaps this cell's compute
     @pl.when(r + 1 < nr)
     def _prefetch():
-        nmid, nlast = _band_copy(x_hbm, bands, sems, bi, r + 1,
-                                 w=w, r_rows=r_rows, nr=nr)[1:]
-
         @pl.when(r + 1 < nr - 1)
         def _pm():
-            nmid.start()
+            mk(r + 1, "mid").start()
 
         @pl.when(r + 1 == nr - 1)
         def _pl():
-            nlast.start()
+            mk(r + 1, "last").start()
 
     sl = bands[r % 2]                                # (R+2, w, cin)
     xi = sl.astype(jnp.float32)
@@ -608,24 +612,28 @@ def _ups_plan(h2, w2, cin, cout, es=2, strict_lanes=None):
     return None
 
 
-def _ups_copy(x_hbm, slabs, sems, bi, r, *, rl, w2):
-    """Copy descriptors for hi-res row-block ``r``: low rows
-    [r*rl/... see _ups_kernel] into slab buffer ``r % 2``."""
+def _ups_copy(x_hbm, slabs, sems, bi, r, which, *, rl, w2):
+    """ONE copy descriptor for hi-res row-block ``r``: low rows
+    [r*rl/... see _ups_kernel] into slab buffer ``r % 2``. ``which`` is
+    trace-time static so unused descriptors never enter the trace (see
+    :func:`_band_copy`)."""
     wl = w2 // 2
     rr = rl  # low rows per core block = r_rows // 2
     a0 = r * rr - 1
     slab = slabs.at[r % 2]
     sem = sems.at[r % 2]
-    mid = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(a0, rr + 2)],
-        slab.at[pl.ds(0, rr + 2), 0:wl, :], sem)
-    first = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(0, rr + 1)],
-        slab.at[pl.ds(1, rr + 1), 0:wl, :], sem)
-    last = pltpu.make_async_copy(
+    if which == "mid":
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(a0, rr + 2)],
+            slab.at[pl.ds(0, rr + 2), 0:wl, :], sem)
+    if which == "first":
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(0, rr + 1)],
+            slab.at[pl.ds(1, rr + 1), 0:wl, :], sem)
+    assert which == "last"
+    return pltpu.make_async_copy(
         x_hbm.at[bi, pl.ds(a0, rr + 1)],
         slab.at[pl.ds(0, rr + 1), 0:wl, :], sem)
-    return first, mid, last
 
 
 def _ups_act(o, act):
@@ -650,33 +658,31 @@ def _ups_kernel(x_hbm, w_ref, b_ref, o_ref, slabs, sems,
     bi = pl.program_id(1)
     r = pl.program_id(2)
     rl = r_rows // 2
-    first, mid, last = _ups_copy(x_hbm, slabs, sems, bi, r, rl=rl, w2=w2)
+    mk = functools.partial(_ups_copy, x_hbm, slabs, sems, bi, rl=rl, w2=w2)
 
     @pl.when(r == 0)
     def _load_first():
+        first = mk(r, "first")
         first.start()
         first.wait()
 
     @pl.when((r > 0) & (r < nr - 1))
     def _wait_mid():
-        mid.wait()
+        mk(r, "mid").wait()
 
     @pl.when(r == nr - 1)
     def _wait_last():
-        last.wait()
+        mk(r, "last").wait()
 
     @pl.when(r + 1 < nr)
     def _prefetch():
-        nmid, nlast = _ups_copy(x_hbm, slabs, sems, bi, r + 1,
-                                rl=rl, w2=w2)[1:]
-
         @pl.when(r + 1 < nr - 1)
         def _pm():
-            nmid.start()
+            mk(r + 1, "mid").start()
 
         @pl.when(r + 1 == nr - 1)
         def _pl():
-            nlast.start()
+            mk(r + 1, "last").start()
 
     slab = slabs.at[r % 2]
 
