@@ -29,6 +29,7 @@ from flax import linen as nn
 from edtr_tpu.models.layers import (DenseParams, GroupNorm32, LayerNorm,
                                     LNParams, conv, dense)
 from edtr_tpu.ops import geglu, ln_matmul
+from edtr_tpu.ops._norms import ln_f32
 from edtr_tpu.ops.attention import dot_product_attention
 
 Dtype = Any
@@ -98,12 +99,14 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, pre_norm=None) -> jnp.ndarray:
         inner = int(self.dim * self.mult)
-        if pre_norm is not None or geglu.supported(x.shape[1], inner):
+        if geglu.will_fuse(x.shape[1], x.shape[2], inner):
             # fused Pallas projection: the 2*inner intermediate never
-            # touches HBM (ops/geglu.py; XLA reference fallback inside).
-            # Param tree identical to the dense path below. pre_norm
-            # additionally absorbs the block's norm3 (exact-gelu + torch
-            # LN semantics either way).
+            # touches HBM (ops/geglu.py). Param tree identical to the
+            # dense path below. pre_norm additionally absorbs the block's
+            # norm3 (exact-gelu + torch LN semantics either way). The
+            # measured dispatch table (ops/dispatch.py) decides per shape;
+            # when it says XLA, the *packed* single-GEMM legacy graph below
+            # runs — not a split-GEMM reference detour.
             k, b = DenseParams(self.dim, inner * 2, name="proj")()
             xc = x.astype(self.dtype or x.dtype)
             halves = (k[:, :inner], k[:, inner:], b[:inner], b[inner:])
@@ -112,6 +115,9 @@ class FeedForward(nn.Module):
             else:
                 h = geglu.geglu_proj(xc, *halves)
         else:
+            if pre_norm is not None:
+                x = ln_f32(x, pre_norm[0], pre_norm[1]).astype(
+                    self.dtype or x.dtype)
             proj = dense(inner * 2, dtype=self.dtype, name="proj")(x)
             h, gate = jnp.split(proj, 2, axis=-1)
             # torch F.gelu is the exact (erf) formulation

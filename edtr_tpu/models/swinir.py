@@ -236,7 +236,7 @@ class SwinTransformerBlock(nn.Module):
         b, n, c = x.shape
         shift = self.shift if min(h, w) > self.win else 0
 
-        if self.fused and swin_block.supported(h, w, self.win):
+        if self.fused and swin_block.will_fuse(h, w, self.win, self.dim):
             (qkv_k, qkv_b), table, (proj_k, proj_b) = _AttnParams(
                 dim=self.dim, win=self.win, num_heads=self.num_heads,
                 name="attn")()
@@ -300,7 +300,8 @@ class RSTB(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, x_size: Tuple[int, int]) -> jnp.ndarray:
         h, w = x_size
-        use_fused = self.fused and swin_block.supported(h, w, self.win)
+        use_fused = self.fused and swin_block.will_fuse(h, w, self.win,
+                                                        self.dim)
         res = x
         off = 0
         for j in range(self.depth):

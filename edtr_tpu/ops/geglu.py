@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from edtr_tpu.ops import dispatch
 from edtr_tpu.ops._norms import ln_f32 as _ln_f32
 
 # test hook: force the Pallas path (interpret mode off-TPU)
@@ -39,24 +40,52 @@ _SEQ_TILE = 256
 _COL_TILE = 1280
 
 
-def _use_kernel() -> bool:
-    import os
-
-    if os.environ.get("EDTR_GEGLU_FUSED", "1") == "0":  # kill-switch
-        return False
-    return _FORCE_KERNEL or jax.default_backend() == "tpu"
-
-
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _col_tile(inner: int) -> int:
-    return inner if inner <= _COL_TILE else _COL_TILE
+# per-grid-cell VMEM budget. The scoped limit on v5e is 16 MiB; r4 found
+# the 256x1280->5120 flagship shape OOMing it at cc=1280 (16.33M measured
+# by the compiler), so the column chunk now shrinks until the footprint
+# fits with headroom for Mosaic's own scratch.
+_VMEM_BUDGET = 12 * 2 ** 20
 
 
-def supported(seq: int, inner: int) -> bool:
-    return seq % _SEQ_TILE == 0 and inner % _col_tile(inner) == 0
+def _cell_bytes(c: int, cc: int) -> int:
+    """Double-buffered bf16 blocks (x, wh, wg, out) + fp32 gelu scratch."""
+    es = 2
+    return (2 * es * (_SEQ_TILE * c + 2 * c * cc + _SEQ_TILE * cc)
+            + 2 * 4 * _SEQ_TILE * cc)
+
+
+def _col_tile(c: int, inner: int):
+    """Largest column chunk dividing ``inner`` whose cell fits VMEM."""
+    if inner <= _COL_TILE:
+        return inner if _cell_bytes(c, inner) <= _VMEM_BUDGET else None
+    cc = _COL_TILE
+    while cc >= 128:
+        if inner % cc == 0 and _cell_bytes(c, cc) <= _VMEM_BUDGET:
+            return cc
+        cc //= 2
+    return None
+
+
+def supported(seq: int, c: int, inner: int) -> bool:
+    return seq % _SEQ_TILE == 0 and _col_tile(c, inner) is not None
+
+
+def will_fuse(n: int, c: int, inner: int) -> bool:
+    """True iff geglu_proj/ln_geglu_proj take the Pallas path at this
+    shape: kernel tiling supports it AND the measured dispatch table says
+    it wins there (ops/dispatch.py). The module-level structure choice
+    (models/attention.py:FeedForward) consults the same predicate so the
+    fallback is the exact legacy packed-GEMM graph, never a split-GEMM
+    reference detour."""
+    if _FORCE_KERNEL:
+        return supported(n, c, inner)
+    if jax.default_backend() != "tpu" or not supported(n, c, inner):
+        return False
+    return dispatch.decide("geglu", f"{n}x{c}->{inner}", n, c, inner)
 
 
 def _erf_f32(x):
@@ -117,11 +146,11 @@ def geglu_proj(x, wh, wg, bh, bg):
     """
     b, n, c = x.shape
     inner = wh.shape[-1]
-    if not (_use_kernel() and supported(n, inner)):
+    if not will_fuse(n, c, inner):
         return _ref(x, wh, wg, bh, bg)
     cdtype = x.dtype
     ts = _SEQ_TILE
-    cc = _col_tile(inner)
+    cc = _col_tile(c, inner)
     grid = (b, n // ts, inner // cc)
     w_spec = pl.BlockSpec((c, cc), lambda i, s, j: (0, j),
                           memory_space=pltpu.VMEM)
@@ -175,11 +204,11 @@ def ln_geglu_proj(x, ln_s, ln_b, wh, wg, bh, bg):
     """
     b, n, c = x.shape
     inner = wh.shape[-1]
-    if not (_use_kernel() and supported(n, inner)):
+    if not will_fuse(n, c, inner):
         return _ln_ref(x, ln_s, ln_b, wh, wg, bh, bg)
     cdtype = x.dtype
     ts = _SEQ_TILE
-    cc = _col_tile(inner)
+    cc = _col_tile(c, inner)
     grid = (b, n // ts, inner // cc)
     w_spec = pl.BlockSpec((c, cc), lambda i, s, j: (0, j),
                           memory_space=pltpu.VMEM)

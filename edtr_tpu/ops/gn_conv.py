@@ -32,20 +32,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from edtr_tpu.ops import dispatch
+
 # test hook: force the Pallas path (interpret mode off-TPU)
 _FORCE_KERNEL = False
 
 # per-grid-cell VMEM budget (bytes); ~16 MB/core minus Mosaic overhead and
 # the double-buffered block pipelines accounted in _plan_bytes
 _BUDGET = 11 * 2 ** 20
-
-
-def _use_kernel() -> bool:
-    import os
-
-    if os.environ.get("EDTR_GNCONV_FUSED", "1") == "0":  # kill-switch
-        return False
-    return _FORCE_KERNEL or jax.default_backend() == "tpu"
 
 
 def _interpret() -> bool:
@@ -204,6 +198,36 @@ def supported(h: int, w: int, cin: int, cout: int,
                   strict_lanes=strict_lanes) is not None
             or _band_plan(h, w, cin, cout, has_res,
                           strict_lanes=strict_lanes) is not None)
+
+
+def will_fuse(h: int, w: int, cin: int, cout: int,
+              has_res: bool = True, es: int = 2) -> bool:
+    """True iff :func:`gn_silu_conv` takes a Pallas tier at this shape:
+    a VMEM plan exists AND the measured dispatch table says the kernel
+    wins there (ops/dispatch.py — r3 shipped 32'/8' shapes that measured
+    0.65-0.70x vs XLA)."""
+    if _FORCE_KERNEL:
+        return supported(h, w, cin, cout, has_res, strict_lanes=False)
+    if jax.default_backend() != "tpu":
+        return False
+    if not supported(h, w, cin, cout, has_res):
+        return False
+    return dispatch.decide("gn_conv", f"{h}x{w}x{cin}->{cout}",
+                           h, w, cin, cout)
+
+
+def will_fuse_ups(h2: int, w2: int, cin: int, cout: int,
+                  es: int = 2) -> bool:
+    """Dispatch for :func:`upsample_conv` (h2/w2 are OUTPUT sizes)."""
+    if _FORCE_KERNEL:
+        return _ups_plan(h2, w2, cin, cout, es,
+                         strict_lanes=False) is not None
+    if jax.default_backend() != "tpu":
+        return False
+    if _ups_plan(h2, w2, cin, cout, es) is None:
+        return False
+    return dispatch.decide("ups_conv", f"{h2}x{w2}x{cin}->{cout}",
+                           h2, w2, cin, cout)
 
 
 def _epilogue(acc, b_ref, emb_ref, res_ref, out_dtype):
@@ -419,6 +443,8 @@ def _call(x, mul, add, w, b, emb, res):
     # whole-image one (same HBM traffic, smaller scratch, prefetch overlap,
     # usually a full-width N block); tiny maps (8²) keep the whole-image
     # tier (fewer rows resident than 2 slabs, larger M per dot)
+    if not will_fuse(h, wd, cin, cout, res is not None, es):
+        return _ref(x, mul, add, w, b, emb, res)
     plan = band = None
     if h >= 16:
         band = _band_plan(h, wd, cin, cout, res is not None, es)
@@ -428,7 +454,7 @@ def _call(x, mul, add, w, b, emb, res):
         plan = _plan(h, wd, cin, cout, res is not None, es)
         if plan is None:
             band = _band_plan(h, wd, cin, cout, res is not None, es)
-    if not (_use_kernel() and (plan is not None or band is not None)):
+    if plan is None and band is None:  # pragma: no cover - will_fuse gates
         return _ref(x, mul, add, w, b, emb, res)
     if plan is None:
         return _band_call(x, mul, add, w, b, emb, res, band)
@@ -748,9 +774,10 @@ def upsample_conv(x, w, b, act=None):
     batch, hl, wl, cin = x.shape
     cout = w.shape[-1]
     es = jnp.dtype(x.dtype).itemsize
-    plan = _ups_plan(hl * 2, wl * 2, cin, cout, es)
-    if not (_use_kernel() and plan is not None):
+    if not will_fuse_ups(hl * 2, wl * 2, cin, cout, es):
         return _ups_ref(x, w, b, act)
+    plan = _ups_plan(hl * 2, wl * 2, cin, cout, es,
+                     strict_lanes=False if _FORCE_KERNEL else None)
     r_rows, cc = plan
     cdtype = x.dtype
     h2, w2 = hl * 2, wl * 2

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from edtr_tpu.ops import dispatch
 from edtr_tpu.ops._norms import ln_f32 as _ln_f32
 
 # test hook: force the Pallas path (interpret mode off-TPU)
@@ -35,14 +36,6 @@ _FORCE_KERNEL = False
 
 _SEQ_TILE = 256
 _MAX_OUT_TILE = 640
-
-
-def _use_kernel() -> bool:
-    import os
-
-    if os.environ.get("EDTR_LNMM_FUSED", "1") == "0":  # kill-switch
-        return False
-    return _FORCE_KERNEL or jax.default_backend() == "tpu"
 
 
 def _interpret() -> bool:
@@ -60,6 +53,25 @@ def _out_tile(o: int) -> int:
 
 def supported(seq: int) -> bool:
     return seq % _SEQ_TILE == 0
+
+
+def _will_fuse_ln(n: int, c: int, o: int, k: int) -> bool:
+    """Dispatch for :func:`ln_matmuls` — supported shape AND a measured
+    win (ops/dispatch.py; K=1 q-only projections amortize nothing and lose
+    everywhere measured)."""
+    if _FORCE_KERNEL:
+        return supported(n)
+    if jax.default_backend() != "tpu" or not supported(n):
+        return False
+    return dispatch.decide("ln_matmul", f"{n}x{c}->{o}x{k}", n, c, o, k)
+
+
+def _will_fuse_affine(n: int, c: int, o: int) -> bool:
+    if _FORCE_KERNEL:
+        return supported(n)
+    if jax.default_backend() != "tpu" or not supported(n):
+        return False
+    return dispatch.decide("affine_matmul", f"{n}x{c}->{o}", n, c, o)
 
 
 def _kernel(x_ref, s_ref, b_ref, *rest, n_w):
@@ -94,8 +106,8 @@ def ln_matmuls(x, ln_s, ln_b, *ws):
     """
     b, n, c = x.shape
     o = ws[0].shape[-1]
-    if not (_use_kernel() and supported(n)
-            and all(w.shape == (c, o) for w in ws)):
+    if not (all(w.shape == (c, o) for w in ws)
+            and _will_fuse_ln(n, c, o, len(ws))):
         return _ref(x, ln_s, ln_b, *ws)
     cdtype = x.dtype
     ts = _SEQ_TILE
@@ -180,7 +192,7 @@ def affine_matmul(x, mul, add, w, b):
     """
     bsz, n, c = x.shape
     o = w.shape[-1]
-    if not (_use_kernel() and supported(n)):
+    if not _will_fuse_affine(n, c, o):
         return _aff_ref(x, mul, add, w, b)
     cdtype = x.dtype
     ts = _SEQ_TILE

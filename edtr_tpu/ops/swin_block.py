@@ -70,6 +70,20 @@ def supported(h: int, w: int, win: int) -> bool:
     return h % win == 0 and w % win == 0 and h >= win and w >= win
 
 
+def will_fuse(h: int, w: int, win: int, c: int) -> bool:
+    """Module-level dispatch (models/swinir.py:BasicLayer): supported
+    shape AND a measured win in the dispatch table (ops/dispatch.py).
+    The whole layer commits to one structure — the rolled-space contract
+    chains consecutive fused blocks."""
+    if _FORCE_KERNEL:
+        return supported(h, w, win)
+    if jax.default_backend() != "tpu" or not supported(h, w, win):
+        return False
+    from edtr_tpu.ops import dispatch
+
+    return dispatch.decide("swin_block", f"{h}x{w}x{c}", h, w, c)
+
+
 def _roll2d(x: jnp.ndarray, d: int, h: int, w: int) -> jnp.ndarray:
     """roll((h, w, c) view of (h*w, c), (-d, -d)) via static concats."""
     if d % h == 0 and d % w == 0:

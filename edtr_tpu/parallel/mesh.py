@@ -31,6 +31,15 @@ def make_mesh(
     if n_data is None:
         n_data = len(devices) // n_model
     devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    if devs.size > 1:
+        # the fused Pallas kernels are whole-array calls and not
+        # GSPMD-partitionable: any multi-device mesh flips every family to
+        # its XLA reference math (ops/dispatch.py; the per-module
+        # _FORCE_KERNEL test hooks bypass this). Enforced here — the single
+        # chokepoint every mesh user (dryrun, runner, tests) goes through.
+        from edtr_tpu.ops import dispatch
+
+        dispatch.set_multichip(True)
     return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
 
 

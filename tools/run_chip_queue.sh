@@ -1,14 +1,16 @@
 #!/bin/bash
-# On-chip validation + bench queue for when the axon tunnel returns.
+# On-chip measurement + validation + bench queue (round 4).
 # Runs everything serially (ONE tpu client at a time — stacked clients
 # queue claims against the relay), logging to results/chip_queue/.
 #
 #   bash tools/run_chip_queue.sh
 #
-# Order: the driver-protocol bench first (it is the artifact of record and
-# its fail-safe kernel probe validates numerics before enabling any fused
-# kernel), then the long verify_chip numerics+timing sweep, then the
-# per-level ResBlock prize measurement and the train artifact.
+# Order (VERDICT r3 "next round" tasks 1/2/5/6): measure per-shape kernel
+# wins first, derive the dispatch table from them, A/B the table at stage
+# level, then produce the driver-protocol bench twice (identical
+# fused_kernels flags across runs = deterministic enablement), the
+# REFERENCE-SEMANTICS bs16 train artifact (r3's queue accidentally ran
+# global_bs=2), and a bs16 serving chain probe.
 set -u
 cd "$(dirname "$0")/.."
 # repo root for edtr_tpu imports + the axon sitecustomize (its registration
@@ -18,28 +20,59 @@ OUT=results/chip_queue
 mkdir -p "$OUT"
 stamp() { date +%H:%M:%S; }
 
-echo "[$(stamp)] 1/6 smoke_kernels_chip (fast numerics gate)"
+echo "[$(stamp)] 1/9 smoke_kernels_chip (fast numerics gate)"
 timeout 900 python tools/smoke_kernels_chip.py > "$OUT/smoke.log" 2>&1
 echo "  exit=$? tail:"; tail -2 "$OUT/smoke.log"
 
-echo "[$(stamp)] 2/6 bench.py (driver protocol, run 1)"
+echo "[$(stamp)] 2/9 verify_chip (per-shape kernel wins + numerics, ~40 min)"
+timeout 7200 python tools/verify_chip.py --out "$OUT/kernel_wins.json" \
+    > "$OUT/verify_chip.log" 2>&1
+echo "  exit=$? tail:"; tail -3 "$OUT/verify_chip.log"
+
+echo "[$(stamp)] 3/9 make_dispatch_table"
+python tools/make_dispatch_table.py "$OUT/kernel_wins.json" \
+    --out "$OUT/dispatch_table.json" > /dev/null 2>&1
+echo "  exit=$?"
+# subsequent steps run on the freshly measured table (falls back to the
+# built-in when the file is missing)
+if [ -s "$OUT/dispatch_table.json" ]; then
+  export EDTR_KERNEL_TABLE="$PWD/$OUT/dispatch_table.json"
+fi
+
+echo "[$(stamp)] 4/9 ab_e2e (stage-level table-vs-off-vs-force, ~40 min)"
+timeout 7200 python tools/ab_e2e.py --out "$OUT/ab_e2e.json" \
+    > "$OUT/ab_e2e.log" 2>&1
+echo "  exit=$? tail:"; tail -2 "$OUT/ab_e2e.log"
+
+echo "[$(stamp)] 5/9 bench.py (driver protocol, run 1)"
 timeout 3600 python bench.py > "$OUT/bench1.json" 2> "$OUT/bench1.log"
 echo "  exit=$?"; cat "$OUT/bench1.json"
 
-echo "[$(stamp)] 3/6 bench.py (run 2, reproducibility)"
+echo "[$(stamp)] 6/9 bench.py (run 2, reproducibility + identical flags)"
 timeout 3600 python bench.py > "$OUT/bench2.json" 2> "$OUT/bench2.log"
 echo "  exit=$?"; cat "$OUT/bench2.json"
+python - <<'EOF'
+import json
+a = json.load(open("results/chip_queue/bench1.json"))
+b = json.load(open("results/chip_queue/bench2.json"))
+same = a.get("fused_kernels") == b.get("fused_kernels")
+print(f"fused_kernels identical across runs: {same}")
+print(f"img/s: run1 {a['value']}  run2 {b['value']}")
+EOF
 
-echo "[$(stamp)] 4/6 verify_chip (kernel numerics + timings, ~30-50 min)"
-timeout 5400 python tools/verify_chip.py > "$OUT/verify_chip.log" 2>&1
-echo "  exit=$? tail:"; tail -3 "$OUT/verify_chip.log"
+echo "[$(stamp)] 7/9 bench_train at REFERENCE semantics (global bs16 = 8x2)"
+timeout 7200 env EDTR_TRAIN_BENCH_BATCH=16 EDTR_TRAIN_BENCH_ACCUM=8 \
+    python tools/bench_train.py > "$OUT/bench_train_bs16.log" 2>&1
+echo "  exit=$? tail:"; tail -1 "$OUT/bench_train_bs16.log"
 
-echo "[$(stamp)] 5/6 bench_resblock (conv fusion prize per level)"
-timeout 1800 python tools/bench_resblock.py > "$OUT/bench_resblock.log" 2>&1
-echo "  exit=$? tail:"; tail -1 "$OUT/bench_resblock.log"
+echo "[$(stamp)] 8/9 bs16 serving chain (stage split at bs16)"
+timeout 3600 env EDTR_BENCH_BATCH=16 EDTR_BENCH_ITERS=6 \
+    python bench.py > "$OUT/bench_bs16.json" 2> "$OUT/bench_bs16.log"
+echo "  exit=$?"; cat "$OUT/bench_bs16.json"
 
-echo "[$(stamp)] 6/6 bench_train bs16"
-timeout 5400 python tools/bench_train.py > "$OUT/bench_train.log" 2>&1
-echo "  exit=$? tail:"; tail -1 "$OUT/bench_train.log"
+echo "[$(stamp)] 9/9 profile_scan (scan-stage sink localization, r3 weak #7)"
+timeout 3600 python tools/profile_scan.py > "$OUT/profile_scan.json" \
+    2> "$OUT/profile_scan.log"
+echo "  exit=$?"; tail -c 400 "$OUT/profile_scan.json"
 
 echo "[$(stamp)] queue done"

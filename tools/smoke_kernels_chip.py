@@ -7,7 +7,17 @@ so a lowering regression localizes in ~2 min instead of ~40.
 
     PYTHONPATH=/root/repo python tools/smoke_kernels_chip.py
 """
+import os
 import sys
+
+# force mode: exercise the Pallas path wherever the kernel supports the
+# shape, independent of the measured dispatch table (ops/dispatch.py) —
+# otherwise table-off shapes would silently compare XLA against XLA and
+# the smoke would test nothing there.
+for _v in ("EDTR_SWIN_FUSED", "EDTR_GEGLU_FUSED", "EDTR_LNMM_FUSED",
+           "EDTR_GNCONV_FUSED", "EDTR_UPSCONV_FUSED"):
+    os.environ[_v] = "force"
+
 import jax
 import jax.numpy as jnp
 

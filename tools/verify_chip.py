@@ -1,293 +1,593 @@
 #!/usr/bin/env python
-"""On-chip validation queue for the round-3 kernel/serving changes.
+"""On-chip kernel validation + per-shape win/loss measurement (round 4).
 
-Run on the real TPU (from the repo root, or with
-PYTHONPATH=/root/repo:/root/.axon_site):
+Run on the real TPU (from the repo root):
 
-    python tools/verify_chip.py
+    python tools/verify_chip.py [--out results/chip_queue/kernel_wins.json]
 
-Covers, in order (fast compiles first so failures localize):
-  1. flash attention fwd/bwd vs the XLA oracle at KV_BLOCK=1024
-  2. bs16 detector with the chunked lax.map NMS (the worker-crash fix)
-  2.5 standalone fused swin kernels vs reference (both shift parities)
-  2.6 fused GEGLU vs reference + timing at the three transformer levels
-  2.7 fused LN+GEMMs vs reference + timing
-  2.8 cost-analysis cross-check (pallas flops visible to XLA)
-  3. fused-vs-legacy SwinIR: full-net numerics + timing
+Every section runs in its own try/except and the JSON artifact is
+rewritten after each one, so a crash mid-queue loses nothing before it
+(VERDICT r3 weak #3: the r3 tool died on a variable-shadowing bug at
+section 4/6 and the later sections never ran — each section now has its
+own namespace via functions, and failures are recorded, not fatal).
 
-Each section asserts numerics and prints timings; ~30-50 min total
-(the bs16 detector compile dominates).
+Output schema (consumed by tools/make_dispatch_table.py):
+
+    {"meta": {...},
+     "families": {family: {shape_key: {"pallas_ms": float, "xla_ms": float,
+                                       "speedup": float, "err": float,
+                                       ["tier"/"variant": str]}}},
+     "modules":  {label: {"fused_ms": ..., "legacy_ms": ..., "speedup": ...}},
+     "sections": {name: "ok" | "FAIL: ..."}}
+
+shape_key strings match ops/dispatch.py exactly. The fused timings force
+the Pallas path (`EDTR_<FAM>_FUSED=force`) so the measurement is
+independent of the currently-shipped table; references call the module
+`_ref` math directly. Timing: chained-dependency executable timing
+(edtr_tpu/utils/benchtime.py) at batch 8 (bs4 for the 512' VAE shapes to
+bound VMEM-adjacent HBM pressure, matching r3 methodology).
 """
-# Combined chip-validation queue (one process, serialized):
-#  1. flash attention @KV_BLOCK=1024 fwd/bwd vs XLA oracle
-#  2. bs16 detector with chunked lax.map NMS (the r3 worker-crash fix)
-#  3. fused SwinIR vs legacy: numerics + timing
-#  4. ResBlock split micro-bench (fusion prize sizing)
-import json, time, sys
-import jax, jax.numpy as jnp
-print("devices:", jax.devices(), flush=True)
 
-# --- 1. flash kernels ---
-from edtr_tpu.ops.flash_attention import flash_attention
-from edtr_tpu.ops.attention import _xla_attention
-for B,S,H,D in [(8,1024,5,64),(2,4096,5,64)]:
-    q = jax.random.normal(jax.random.PRNGKey(0),(B,S,H,D),jnp.bfloat16)
-    k = jax.random.normal(jax.random.PRNGKey(1),(B,S,H,D),jnp.bfloat16)
-    v = jax.random.normal(jax.random.PRNGKey(2),(B,S,H,D),jnp.bfloat16)
-    f = jax.jit(lambda q,k,v: flash_attention(q,k,v,64**-0.5))(q,k,v)
-    o = jax.jit(lambda q,k,v: _xla_attention(q,k,v,64**-0.5))(q,k,v)
-    err = float(jnp.abs(f.astype(jnp.float32)-o.astype(jnp.float32)).max())
-    print(f"flash seq={S}: max_abs_err={err:.4f}", flush=True)
-    assert err < 0.06, err
-def loss_f(q): return flash_attention(q,k,v,64**-0.5).astype(jnp.float32).sum()
-def loss_o(q): return _xla_attention(q,k,v,64**-0.5).astype(jnp.float32).sum()
-gf = jax.jit(jax.grad(loss_f))(q); go = jax.jit(jax.grad(loss_o))(q)
-gerr = float(jnp.abs(gf.astype(jnp.float32)-go.astype(jnp.float32)).max())
-print(f"flash bwd seq=4096: max_abs_err={gerr:.4f}", flush=True)
-assert gerr < 0.1, gerr
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
 
-# --- 2. bs16 detector (chunked NMS) ---
-from edtr_tpu.models.faster_rcnn import fasterrcnn_mobilenet_v3_large_fpn
-det = fasterrcnn_mobilenet_v3_large_fpn(num_classes=21, dtype=jnp.bfloat16)
-dv = jax.jit(det.init)({"params": jax.random.PRNGKey(7)}, jnp.zeros((16,512,512,3)))
-x = jax.random.uniform(jax.random.PRNGKey(3),(16,512,512,3)).astype(jnp.bfloat16)
-t0=time.time()
-fn = jax.jit(lambda v,x: det.apply(v,x)[0]["scores"]).lower(dv,x).compile()
-print(f"bs16 detect compiled in {time.time()-t0:.1f}s", flush=True)
-s = fn(dv,x); s.block_until_ready()
-print("bs16 detect OK:", s.shape, float(s.astype(jnp.float32).mean()), flush=True)
-fn8 = jax.jit(lambda v,x: det.apply(v,x)[0]["scores"]).lower(dv, x[:8]).compile()
-s8 = fn8(dv, x[:8]); s8.block_until_ready()
-d = float(jnp.abs(s[:8].astype(jnp.float32)-s8.astype(jnp.float32)).max())
-print(f"bs16[0:8] vs bs8 scores max_abs_diff={d:.5f}", flush=True)
-assert d < 1e-2, d
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RESULT = {"meta": {}, "families": {}, "modules": {}, "sections": {}}
+OUT_PATH = None
 
 
-# --- 2.5 standalone swin kernel probes (fast compiles; isolate Mosaic issues) ---
-from edtr_tpu.ops import swin_block
-import numpy as _np
-h = w = 64; win = 8; c = 180; hid = 360
-_g = _np.random.default_rng(5)
-xk = jnp.asarray(_g.standard_normal((8, h*w, c)), jnp.bfloat16)
-ln_s = jnp.asarray(_g.standard_normal(c), jnp.float32)
-ln_b = jnp.asarray(_g.standard_normal(c), jnp.float32)
-wqkv = jnp.asarray(_g.standard_normal((c, 3*c)) * 0.05, jnp.float32)
-bqkv = jnp.asarray(_g.standard_normal(3*c), jnp.float32)
-for dd in (0, 4, -4):
-    t0 = time.time()
-    got = jax.jit(lambda *a: swin_block.swin_pre(*a, h, w, win, dd))(xk, ln_s, ln_b, wqkv, bqkv)
-    jax.block_until_ready(got)
-    ref = jax.jit(lambda *a: swin_block._pre_ref(*a, h, w, win, dd))(xk, ln_s, ln_b, wqkv, bqkv)
-    errs = [float(jnp.abs(a.astype(jnp.float32)-b.astype(jnp.float32)).max()) for a, b in zip(got, ref)]
-    print(f"swin_pre d={dd}: compile+run {time.time()-t0:.1f}s errs={errs}", flush=True)
-    assert max(errs) < 0.1, errs
-nw = (h//win)*(w//win)
-attnk = jnp.asarray(_g.standard_normal((8, nw, win*win, c)), jnp.bfloat16)
-xrk = jnp.asarray(_g.standard_normal((8, h*w, c)), jnp.bfloat16)
-wsk = [jnp.asarray(_g.standard_normal(s) * 0.05, jnp.float32)
-       for s in [(c, c), (c,), (c,), (c,), (c, hid), (hid,), (hid, c), (c,)]]
-t0 = time.time()
-gotp = jax.jit(lambda *a: swin_block.swin_post(*a, h, w, win))(attnk, xrk, *wsk)
-jax.block_until_ready(gotp)
-refp = jax.jit(lambda *a: swin_block._post_ref(*a, h, w, win))(attnk, xrk, *wsk)
-perr = float(jnp.abs(gotp.astype(jnp.float32)-refp.astype(jnp.float32)).max())
-print(f"swin_post: compile+run {time.time()-t0:.1f}s err={perr:.4f}", flush=True)
-assert perr < 0.1, perr
+def flush():
+    if OUT_PATH:
+        os.makedirs(os.path.dirname(OUT_PATH), exist_ok=True)
+        with open(OUT_PATH, "w") as f:
+            json.dump(RESULT, f, indent=1, sort_keys=True)
 
 
-# --- 2.6 geglu kernel probe + timing at the three transformer levels ---
-from edtr_tpu.ops import geglu as _geglu
-from edtr_tpu.utils.benchtime import timeit_chained as _tc
-for seq, ch in [(4096, 320), (1024, 640), (256, 1280)]:
-    inner = 4 * ch
-    _gg = _np.random.default_rng(9)
-    xg = jnp.asarray(_gg.standard_normal((8, seq, ch)), jnp.bfloat16)
-    whg = jnp.asarray(_gg.standard_normal((ch, inner)) * 0.05, jnp.float32)
-    wgg = jnp.asarray(_gg.standard_normal((ch, inner)) * 0.05, jnp.float32)
-    bhg = jnp.asarray(_gg.standard_normal(inner), jnp.float32)
-    bgg = jnp.asarray(_gg.standard_normal(inner), jnp.float32)
-    fk = jax.jit(lambda *a: _geglu.geglu_proj(*a)).lower(xg, whg, wgg, bhg, bgg).compile()
-    fr = jax.jit(lambda *a: _geglu._ref(*a)).lower(xg, whg, wgg, bhg, bgg).compile()
-    ok = fk(xg, whg, wgg, bhg, bgg); rk = fr(xg, whg, wgg, bhg, bgg)
-    ge = float(jnp.abs(ok.astype(jnp.float32)-rk.astype(jnp.float32)).max())
-    tk = _tc(fk, xg, whg, wgg, bhg, bgg, iters=10) * 1e3
-    tr = _tc(fr, xg, whg, wgg, bhg, bgg, iters=10) * 1e3
-    print(f"geglu {seq}x{ch}: err={ge:.4f} pallas {tk:.3f} ms  xla {tr:.3f} ms  speedup {tr/tk:.2f}x", flush=True)
-    assert ge < 0.15, ge
+def section(name):
+    def deco(fn):
+        def run():
+            t0 = time.time()
+            print(f"=== section {name} ===", flush=True)
+            try:
+                fn()
+                RESULT["sections"][name] = "ok"
+            except Exception as e:
+                traceback.print_exc()
+                RESULT["sections"][name] = f"FAIL: {type(e).__name__}: {e}"
+            print(f"=== section {name}: {RESULT['sections'][name]} "
+                  f"({time.time() - t0:.0f}s) ===", flush=True)
+            flush()
+        return run
+    return deco
 
 
-# --- 2.7 ln_matmul kernel probe + timing ---
-from edtr_tpu.ops import ln_matmul as _lnm
-for seq, ch in [(4096, 320), (1024, 640), (256, 1280)]:
-    _gl = _np.random.default_rng(11)
-    xl = jnp.asarray(_gl.standard_normal((8, seq, ch)), jnp.bfloat16)
-    sl = jnp.asarray(_gl.standard_normal(ch), jnp.float32)
-    bl = jnp.asarray(_gl.standard_normal(ch), jnp.float32)
-    wls = [jnp.asarray(_gl.standard_normal((ch, ch)) * 0.05, jnp.float32) for _ in range(3)]
-    fk = jax.jit(lambda *a: _lnm.ln_matmuls(*a)).lower(xl, sl, bl, *wls).compile()
-    fr = jax.jit(lambda *a: _lnm._ref(*a)).lower(xl, sl, bl, *wls).compile()
-    ok = fk(xl, sl, bl, *wls); rk = fr(xl, sl, bl, *wls)
-    ge = max(float(jnp.abs(a.astype(jnp.float32)-b.astype(jnp.float32)).max()) for a, b in zip(ok, rk))
-    tk = _tc(fk, xl, sl, bl, *wls, iters=10) * 1e3
-    tr = _tc(fr, xl, sl, bl, *wls, iters=10) * 1e3
-    print(f"ln_matmuls(3) {seq}x{ch}: err={ge:.4f} pallas {tk:.3f} ms  xla {tr:.3f} ms  speedup {tr/tk:.2f}x", flush=True)
-    assert ge < 0.15, ge
+def _force(var, val):
+    """Set a kill-switch env var for the duration of one trace."""
+    os.environ[var] = val
 
 
-# --- 2.72 affine(GN-fold)+proj_in GEMM (SpatialTransformer entry) ---
-for seq, ch, inner in [(4096, 320, 320), (1024, 640, 640), (256, 1280, 1280)]:
-    _ga = _np.random.default_rng(12)
-    xa = jnp.asarray(_ga.standard_normal((8, seq, ch)), jnp.bfloat16)
-    ma = jnp.asarray(_ga.standard_normal((8, ch)) * 0.3 + 1, jnp.float32)
-    aa = jnp.asarray(_ga.standard_normal((8, ch)) * 0.1, jnp.float32)
-    wa = jnp.asarray(_ga.standard_normal((ch, inner)) * 0.05, jnp.float32)
-    ba = jnp.asarray(_ga.standard_normal(inner) * 0.05, jnp.float32)
-    fk = jax.jit(lambda *a: _lnm.affine_matmul(*a)).lower(
-        xa, ma, aa, wa, ba).compile()
-    fr = jax.jit(lambda *a: _lnm._aff_ref(*a)).lower(
-        xa, ma, aa, wa, ba).compile()
-    ok = fk(xa, ma, aa, wa, ba); rk = fr(xa, ma, aa, wa, ba)
+import contextlib
+
+
+@contextlib.contextmanager
+def shape_guard(family, key, *reset):
+    """Isolate one shape's measurement: a compile failure (e.g. a scoped
+    VMEM OOM at an untested shape) records an error entry for that shape
+    and the section moves on instead of dying (the r4 driver found geglu
+    256x1280->5120 OOMing the 16M scoped limit mid-sweep)."""
+    try:
+        yield
+    except Exception as e:
+        traceback.print_exc()
+        msg = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+        RESULT["families"].setdefault(family, {})[key] = {"error": msg}
+        print(f"{family} {key}: SHAPE-FAIL {msg}", flush=True)
+        for var in reset:
+            _force(var, "1")
+        flush()
+
+
+def record(family, key, pallas_ms, xla_ms, err, **extra):
+    e = {"pallas_ms": round(pallas_ms, 4), "xla_ms": round(xla_ms, 4),
+         "speedup": round(xla_ms / pallas_ms, 3), "err": round(err, 5)}
+    e.update(extra)
+    RESULT["families"].setdefault(family, {})[key] = e
+    print(f"{family} {key}: err={err:.4f} pallas {pallas_ms:.3f} ms  "
+          f"xla {xla_ms:.3f} ms  speedup {e['speedup']}x"
+          + (f"  {extra}" if extra else ""), flush=True)
+
+
+# ---------------------------------------------------------------------------
+
+
+@section("flash_attention")
+def sec_flash():
+    import jax
+    import jax.numpy as jnp
+
+    from edtr_tpu.ops.attention import _xla_attention
+    from edtr_tpu.ops.flash_attention import flash_attention
+
+    for B, S, H, D in [(8, 1024, 5, 64), (2, 4096, 5, 64)]:
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D), jnp.bfloat16)
+        k = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, D), jnp.bfloat16)
+        v = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, D), jnp.bfloat16)
+        f = jax.jit(lambda q, k, v: flash_attention(q, k, v, 64 ** -0.5))(q, k, v)
+        o = jax.jit(lambda q, k, v: _xla_attention(q, k, v, 64 ** -0.5))(q, k, v)
+        err = float(jnp.abs(f.astype(jnp.float32) - o.astype(jnp.float32)).max())
+        print(f"flash seq={S}: max_abs_err={err:.4f}", flush=True)
+        assert err < 0.06, err
+
+    def loss_f(q):
+        return flash_attention(q, k, v, 64 ** -0.5).astype(jnp.float32).sum()
+
+    def loss_o(q):
+        return _xla_attention(q, k, v, 64 ** -0.5).astype(jnp.float32).sum()
+
+    gf = jax.jit(jax.grad(loss_f))(q)
+    go = jax.jit(jax.grad(loss_o))(q)
+    gerr = float(jnp.abs(gf.astype(jnp.float32) - go.astype(jnp.float32)).max())
+    print(f"flash bwd seq=4096: max_abs_err={gerr:.4f}", flush=True)
+    assert gerr < 0.1, gerr
+
+
+@section("geglu")
+def sec_geglu():
+    import jax
+    import jax.numpy as jnp
+
+    from edtr_tpu.ops import geglu
+    from edtr_tpu.utils.benchtime import timeit_chained as tc
+
+    for seq, ch in [(4096, 320), (1024, 640), (256, 1280)]:
+      inner = 4 * ch
+      with shape_guard("geglu", f"{seq}x{ch}->{inner}", "EDTR_GEGLU_FUSED"):
+        g = np.random.default_rng(9)
+        x = jnp.asarray(g.standard_normal((8, seq, ch)), jnp.bfloat16)
+        wh = jnp.asarray(g.standard_normal((ch, inner)) * 0.05, jnp.float32)
+        wg = jnp.asarray(g.standard_normal((ch, inner)) * 0.05, jnp.float32)
+        bh = jnp.asarray(g.standard_normal(inner), jnp.float32)
+        bg = jnp.asarray(g.standard_normal(inner), jnp.float32)
+        _force("EDTR_GEGLU_FUSED", "force")
+        fk = jax.jit(lambda *a: geglu.geglu_proj(*a)).lower(
+            x, wh, wg, bh, bg).compile()
+        _force("EDTR_GEGLU_FUSED", "1")
+        fr = jax.jit(lambda *a: geglu._ref(*a)).lower(
+            x, wh, wg, bh, bg).compile()
+        ok = fk(x, wh, wg, bh, bg)
+        rk = fr(x, wh, wg, bh, bg)
+        ge = float(jnp.abs(ok.astype(jnp.float32) - rk.astype(jnp.float32)).max())
+        assert ge < 0.15, ge
+        record("geglu", f"{seq}x{ch}->{inner}",
+               tc(fk, x, wh, wg, bh, bg, iters=10) * 1e3,
+               tc(fr, x, wh, wg, bh, bg, iters=10) * 1e3, ge)
+
+
+@section("ln_matmul")
+def sec_lnmm():
+    import jax
+    import jax.numpy as jnp
+
+    from edtr_tpu.ops import ln_matmul as lnm
+    from edtr_tpu.utils.benchtime import timeit_chained as tc
+
+    for seq, ch in [(4096, 320), (1024, 640), (256, 1280)]:
+        g = np.random.default_rng(11)
+        x = jnp.asarray(g.standard_normal((8, seq, ch)), jnp.bfloat16)
+        s = jnp.asarray(g.standard_normal(ch), jnp.float32)
+        b = jnp.asarray(g.standard_normal(ch), jnp.float32)
+        ws = [jnp.asarray(g.standard_normal((ch, ch)) * 0.05, jnp.float32)
+              for _ in range(3)]
+        for k in (3, 1):
+          with shape_guard("ln_matmul", f"{seq}x{ch}->{ch}x{k}",
+                           "EDTR_LNMM_FUSED"):
+            _force("EDTR_LNMM_FUSED", "force")
+            fk = jax.jit(lambda *a: lnm.ln_matmuls(*a)).lower(
+                x, s, b, *ws[:k]).compile()
+            _force("EDTR_LNMM_FUSED", "1")
+            fr = jax.jit(lambda *a: lnm._ref(*a)).lower(
+                x, s, b, *ws[:k]).compile()
+            ok = fk(x, s, b, *ws[:k])
+            rk = fr(x, s, b, *ws[:k])
+            ge = max(float(jnp.abs(a.astype(jnp.float32)
+                                   - bb.astype(jnp.float32)).max())
+                     for a, bb in zip(ok, rk))
+            assert ge < 0.15, ge
+            record("ln_matmul", f"{seq}x{ch}->{ch}x{k}",
+                   tc(fk, x, s, b, *ws[:k], iters=10) * 1e3,
+                   tc(fr, x, s, b, *ws[:k], iters=10) * 1e3, ge)
+
+        # affine (GN-fold) + proj_in GEMM
+        with shape_guard("affine_matmul", f"{seq}x{ch}->{ch}",
+                         "EDTR_LNMM_FUSED"):
+            mu = jnp.asarray(g.standard_normal((8, ch)) * 0.3 + 1, jnp.float32)
+            ad = jnp.asarray(g.standard_normal((8, ch)) * 0.1, jnp.float32)
+            ba = jnp.asarray(g.standard_normal(ch) * 0.05, jnp.float32)
+            _force("EDTR_LNMM_FUSED", "force")
+            fa = jax.jit(lambda *a: lnm.affine_matmul(*a)).lower(
+                x, mu, ad, ws[0], ba).compile()
+            _force("EDTR_LNMM_FUSED", "1")
+            fb = jax.jit(lambda *a: lnm._aff_ref(*a)).lower(
+                x, mu, ad, ws[0], ba).compile()
+            oa = fa(x, mu, ad, ws[0], ba)
+            ob = fb(x, mu, ad, ws[0], ba)
+            ae = float(jnp.abs(oa.astype(jnp.float32) - ob.astype(jnp.float32)).max())
+            assert ae < 0.15, ae
+            record("affine_matmul", f"{seq}x{ch}->{ch}",
+                   tc(fa, x, mu, ad, ws[0], ba, iters=10) * 1e3,
+                   tc(fb, x, mu, ad, ws[0], ba, iters=10) * 1e3, ae)
+
+
+def _gn_conv_once(h, cin, cout, batch, with_emb, with_res, band):
+    import jax
+    import jax.numpy as jnp
+
+    from edtr_tpu.ops import gn_conv as gnc
+    from edtr_tpu.utils.benchtime import timeit_chained as tc
+
+    g = np.random.default_rng(13)
+    x = jnp.asarray(g.standard_normal((batch, h, h, cin)), jnp.bfloat16)
+    mu = jnp.asarray(g.standard_normal((batch, cin)) * 0.3 + 1, jnp.float32)
+    ad = jnp.asarray(g.standard_normal((batch, cin)) * 0.1, jnp.float32)
+    w = jnp.asarray(g.standard_normal((3, 3, cin, cout)) * 0.02, jnp.float32)
+    b = jnp.asarray(g.standard_normal(cout) * 0.05, jnp.float32)
+    emb = (jnp.asarray(g.standard_normal((batch, cout)) * 0.2, jnp.bfloat16)
+           if with_emb else None)
+    res = (jnp.asarray(g.standard_normal((batch, h, h, cout)), jnp.bfloat16)
+           if with_res else None)
+    args = (x, mu, ad, w, b, emb, res)
+    _force("EDTR_GNCONV_FUSED", "force")
+    _force("EDTR_GNCONV_BAND", "1" if band else "0")
+    if not gnc.supported(h, h, cin, cout, with_res):
+        _force("EDTR_GNCONV_FUSED", "1")
+        _force("EDTR_GNCONV_BAND", "1")
+        return None
+    tier = ("band" if band and gnc._band_plan(h, h, cin, cout, with_res)
+            is not None and h >= 16 else "whole")
+    fk = jax.jit(lambda *a: gnc.gn_silu_conv(*a)).lower(*args).compile()
+    _force("EDTR_GNCONV_FUSED", "1")
+    _force("EDTR_GNCONV_BAND", "1")
+    fr = jax.jit(lambda *a: gnc._ref(*a)).lower(*args).compile()
+    ok = fk(*args)
+    rk = fr(*args)
     ge = float(jnp.abs(ok.astype(jnp.float32) - rk.astype(jnp.float32)).max())
-    tk = _tc(fk, xa, ma, aa, wa, ba, iters=10) * 1e3
-    tr = _tc(fr, xa, ma, aa, wa, ba, iters=10) * 1e3
-    print(f"affine_matmul {seq}x{ch}: err={ge:.4f} pallas {tk:.3f} ms"
-          f"  xla {tr:.3f} ms  speedup {tr/tk:.2f}x", flush=True)
-    assert ge < 0.15, ge
-
-
-# --- 2.75 fused GN+SiLU+conv ResBlock kernel: numerics + per-level timing ---
-from edtr_tpu.ops import gn_conv as _gnc
-from edtr_tpu.models.unet import ResBlock as _RB
-for hh, cin, cout in [(64, 320, 320), (64, 640, 320), (64, 960, 320),
-                      (32, 640, 640), (32, 320, 640), (8, 1280, 1280)]:
-    if not _gnc.supported(hh, hh, cin, cout):
-        print(f"gn_conv {hh}x{hh} {cin}->{cout}: UNSUPPORTED (XLA fallback)",
-              flush=True)
-        continue
-    _gg = _np.random.default_rng(13)
-    xg = jnp.asarray(_gg.standard_normal((8, hh, hh, cin)), jnp.bfloat16)
-    mu = jnp.asarray(_gg.standard_normal((8, cin)) * 0.3 + 1, jnp.float32)
-    ad = jnp.asarray(_gg.standard_normal((8, cin)) * 0.1, jnp.float32)
-    wk = jnp.asarray(_gg.standard_normal((3, 3, cin, cout)) * 0.02,
-                     jnp.float32)
-    bk = jnp.asarray(_gg.standard_normal(cout) * 0.05, jnp.float32)
-    eg = jnp.asarray(_gg.standard_normal((8, cout)) * 0.2, jnp.bfloat16)
-    rg = jnp.asarray(_gg.standard_normal((8, hh, hh, cout)), jnp.bfloat16)
-    fk = jax.jit(lambda *a: _gnc.gn_silu_conv(*a)).lower(
-        xg, mu, ad, wk, bk, eg, rg).compile()
-    fr = jax.jit(lambda *a: _gnc._ref(*a)).lower(
-        xg, mu, ad, wk, bk, eg, rg).compile()
-    ok = fk(xg, mu, ad, wk, bk, eg, rg); rk = fr(xg, mu, ad, wk, bk, eg, rg)
-    ge = float(jnp.abs(ok.astype(jnp.float32) - rk.astype(jnp.float32)).max())
-    tk = _tc(fk, xg, mu, ad, wk, bk, eg, rg, iters=10) * 1e3
-    tr = _tc(fr, xg, mu, ad, wk, bk, eg, rg, iters=10) * 1e3
-    tier = "band" if (hh >= 16 and _gnc._band_plan(hh, hh, cin, cout, True)
-                      is not None) else "whole"
-    print(f"gn_conv {hh}x{hh} {cin}->{cout} [{tier}]: err={ge:.4f} "
-          f"pallas {tk:.3f} ms  xla {tr:.3f} ms  speedup {tr/tk:.2f}x",
-          flush=True)
     assert ge < 0.25, ge
-# full ResBlock module fused-vs-legacy at the flagship 64² level
-xb = jax.random.normal(jax.random.PRNGKey(21), (8, 64, 64, 320), jnp.bfloat16)
-ebt = jax.random.normal(jax.random.PRNGKey(22), (8, 1280), jnp.bfloat16)
-rbf = _RB(out_channels=320, dtype=jnp.bfloat16, fused=True)
-rbl = _RB(out_channels=320, dtype=jnp.bfloat16, fused=False)
-pv = jax.jit(rbl.init)({"params": jax.random.PRNGKey(23)}, xb, ebt)["params"]
-pv = jax.tree.map(lambda a: a + 0.02, pv)  # unzero out_conv
-ff = jax.jit(lambda p, x, e: rbf.apply({"params": p}, x, e)).lower(
-    pv, xb, ebt).compile()
-fl = jax.jit(lambda p, x, e: rbl.apply({"params": p}, x, e)).lower(
-    pv, xb, ebt).compile()
-obf = ff(pv, xb, ebt); obl = fl(pv, xb, ebt)
-rerr = float(jnp.abs(obf.astype(jnp.float32) - obl.astype(jnp.float32)).max())
-tf_ = _tc(ff, pv, xb, ebt, iters=10) * 1e3
-tl_ = _tc(fl, pv, xb, ebt, iters=10) * 1e3
-print(f"ResBlock 64x64x320 fused vs legacy: err={rerr:.4f} "
-      f"fused {tf_:.3f} ms  legacy {tl_:.3f} ms  speedup {tl_/tf_:.2f}x",
-      flush=True)
-assert rerr < 0.25, rerr
+    return (tc(fk, *args, iters=10) * 1e3, tc(fr, *args, iters=10) * 1e3,
+            ge, tier)
 
-# --- 2.76 VAE ResnetBlock fused vs legacy (decoder hot shapes, bs4) ---
-from edtr_tpu.models.vae import ResnetBlock as _VRB
-for hh, cin, cout in [(512, 128, 128), (512, 256, 128), (256, 512, 256)]:
-    if not _gnc.supported(hh, hh, cin, cout):
-        print(f"vae_rb {hh}x{hh} {cin}->{cout}: UNSUPPORTED", flush=True)
-        continue
-    xv = jax.random.normal(jax.random.PRNGKey(31), (4, hh, hh, cin),
-                           jnp.bfloat16)
-    vf = _VRB(out_channels=cout, dtype=jnp.bfloat16, fused=True)
-    vl = _VRB(out_channels=cout, dtype=jnp.bfloat16, fused=False)
-    pvr = jax.jit(vl.init)({"params": jax.random.PRNGKey(32)}, xv)["params"]
-    fvf = jax.jit(lambda p, x: vf.apply({"params": p}, x)).lower(
-        pvr, xv).compile()
-    fvl = jax.jit(lambda p, x: vl.apply({"params": p}, x)).lower(
-        pvr, xv).compile()
-    ovf = fvf(pvr, xv); ovl = fvl(pvr, xv)
-    ve = float(jnp.abs(ovf.astype(jnp.float32) - ovl.astype(jnp.float32)).max())
-    tvf = _tc(fvf, pvr, xv, iters=10) * 1e3
-    tvl = _tc(fvl, pvr, xv, iters=10) * 1e3
-    print(f"vae_rb {hh}x{hh} {cin}->{cout}: err={ve:.4f} fused {tvf:.3f} ms"
-          f"  legacy {tvl:.3f} ms  speedup {tvl/tvf:.2f}x", flush=True)
-    assert ve < 0.25, ve
 
-# --- 2.77 fused nearest-2x upsample + conv (VAE ups / SwinIR tail, bs4) ---
-for hl, cin, cout, act in [(256, 256, 256, None), (128, 512, 512, None),
-                           (256, 64, 64, "lrelu")]:
-    if _gnc._ups_plan(hl * 2, hl * 2, cin, cout) is None:
-        print(f"ups_conv {hl}->{hl*2} {cin}->{cout}: UNSUPPORTED", flush=True)
-        continue
-    xu = jax.random.normal(jax.random.PRNGKey(41), (4, hl, hl, cin),
+@section("gn_conv_unet")
+def sec_gn_unet():
+    # flagship UNet/ControlNet ResBlock conv shapes with 128-aligned Cin
+    # (encoder + decoder-concat); emb on the first half, res on the second
+    shapes = [
+        (64, 640, 320), (32, 640, 640), (32, 1280, 640), (32, 1920, 640),
+        (16, 640, 1280), (16, 1280, 1280), (16, 1920, 1280),
+        (16, 2560, 1280), (8, 1280, 1280), (8, 2560, 1280),
+    ]
+    for h, cin, cout in shapes:
+      with shape_guard("gn_conv", f"{h}x{h}x{cin}->{cout}",
+                       "EDTR_GNCONV_FUSED", "EDTR_GNCONV_BAND"):
+        out = _gn_conv_once(h, cin, cout, 8, True, True, band=True)
+        if out is None:
+            print(f"gn_conv {h}x{h}x{cin}->{cout}: UNSUPPORTED", flush=True)
+            continue
+        p, r, e, tier = out
+        record("gn_conv", f"{h}x{h}x{cin}->{cout}", p, r, e, tier=tier)
+        # h in [16, 32]: also price the whole-image tier (band measured
+        # LOSING at 32' in r3; the whole tier may differ)
+        if 16 <= h <= 32:
+            out2 = _gn_conv_once(h, cin, cout, 8, True, True, band=False)
+            if out2 is not None and out2[3] == "whole":
+                p2, r2, e2, _ = out2
+                record("gn_conv", f"{h}x{h}x{cin}->{cout}", p2, r2, e2,
+                       tier="whole") if p2 < p else print(
+                    f"  whole tier slower: {p2:.3f} vs band {p:.3f} ms",
+                    flush=True)
+
+
+@section("gn_conv_vae")
+def sec_gn_vae():
+    # VAE encoder/decoder ResnetBlock shapes (no emb; res on second half).
+    # bs4 at 512' (matches r3 methodology; footprints scale with grid)
+    shapes = [
+        (512, 128, 128, 4), (512, 256, 128, 4),
+        (256, 128, 256, 8), (256, 256, 256, 8), (256, 512, 256, 8),
+        (128, 256, 512, 8), (128, 512, 512, 8), (64, 512, 512, 8),
+    ]
+    for h, cin, cout, bs in shapes:
+      with shape_guard("gn_conv", f"{h}x{h}x{cin}->{cout}",
+                       "EDTR_GNCONV_FUSED", "EDTR_GNCONV_BAND"):
+        out = _gn_conv_once(h, cin, cout, bs, False, True, band=True)
+        if out is None:
+            print(f"gn_conv {h}x{h}x{cin}->{cout}: UNSUPPORTED", flush=True)
+            continue
+        p, r, e, tier = out
+        record("gn_conv", f"{h}x{h}x{cin}->{cout}", p, r, e,
+               tier=tier, batch=bs)
+
+
+@section("ups_conv")
+def sec_ups():
+    import jax
+    import jax.numpy as jnp
+
+    from edtr_tpu.ops import gn_conv as gnc
+    from edtr_tpu.utils.benchtime import timeit_chained as tc
+
+    # (low_h, cin, cout, act, batch): VAE decoder ups + UNet decoder ups
+    shapes = [(256, 256, 256, None, 4), (128, 512, 512, None, 8),
+              (64, 512, 512, None, 8),
+              (32, 640, 640, None, 8), (16, 1280, 1280, None, 8),
+              (8, 1280, 1280, None, 8)]
+    for hl, cin, cout, act, bs in shapes:
+      with shape_guard("ups_conv", f"{hl * 2}x{hl * 2}x{cin}->{cout}",
+                       "EDTR_UPSCONV_FUSED"):
+        if gnc._ups_plan(hl * 2, hl * 2, cin, cout) is None:
+            print(f"ups_conv {hl * 2}x{hl * 2}x{cin}->{cout}: UNSUPPORTED",
+                  flush=True)
+            continue
+        g = np.random.default_rng(41)
+        x = jnp.asarray(g.standard_normal((bs, hl, hl, cin)), jnp.bfloat16)
+        w = jnp.asarray(g.standard_normal((3, 3, cin, cout)) * 0.02,
+                        jnp.float32)
+        b = jnp.asarray(g.standard_normal(cout) * 0.05, jnp.float32)
+        _force("EDTR_UPSCONV_FUSED", "force")
+        fk = jax.jit(lambda *a: gnc.upsample_conv(*a, act)).lower(
+            x, w, b).compile()
+        _force("EDTR_UPSCONV_FUSED", "1")
+        fr = jax.jit(lambda *a: gnc._ups_ref(*a, act)).lower(
+            x, w, b).compile()
+        ok = fk(x, w, b)
+        rk = fr(x, w, b)
+        ue = float(jnp.abs(ok.astype(jnp.float32) - rk.astype(jnp.float32)).max())
+        assert ue < 0.25, ue
+        record("ups_conv", f"{hl * 2}x{hl * 2}x{cin}->{cout}",
+               tc(fk, x, w, b, iters=10) * 1e3,
+               tc(fr, x, w, b, iters=10) * 1e3, ue, batch=bs)
+
+
+@section("swin_kernels")
+def sec_swin_kernels():
+    import jax
+    import jax.numpy as jnp
+
+    from edtr_tpu.ops import swin_block
+
+    h = w = 64
+    win, c, hid = 8, 180, 360
+    g = np.random.default_rng(5)
+    x = jnp.asarray(g.standard_normal((8, h * w, c)), jnp.bfloat16)
+    ln_s = jnp.asarray(g.standard_normal(c), jnp.float32)
+    ln_b = jnp.asarray(g.standard_normal(c), jnp.float32)
+    wqkv = jnp.asarray(g.standard_normal((c, 3 * c)) * 0.05, jnp.float32)
+    bqkv = jnp.asarray(g.standard_normal(3 * c), jnp.float32)
+    for dd in (0, 4, -4):
+        got = jax.jit(lambda *a: swin_block.swin_pre(*a, h, w, win, dd))(
+            x, ln_s, ln_b, wqkv, bqkv)
+        jax.block_until_ready(got)
+        ref = jax.jit(lambda *a: swin_block._pre_ref(*a, h, w, win, dd))(
+            x, ln_s, ln_b, wqkv, bqkv)
+        errs = [float(jnp.abs(a.astype(jnp.float32)
+                              - b.astype(jnp.float32)).max())
+                for a, b in zip(got, ref)]
+        print(f"swin_pre d={dd}: errs={errs}", flush=True)
+        assert max(errs) < 0.1, errs
+    nw = (h // win) * (w // win)
+    attn = jnp.asarray(g.standard_normal((8, nw, win * win, c)), jnp.bfloat16)
+    xr = jnp.asarray(g.standard_normal((8, h * w, c)), jnp.bfloat16)
+    ws = [jnp.asarray(g.standard_normal(s) * 0.05, jnp.float32)
+          for s in [(c, c), (c,), (c,), (c,), (c, hid), (hid,), (hid, c),
+                    (c,)]]
+    gp = jax.jit(lambda *a: swin_block.swin_post(*a, h, w, win))(attn, xr, *ws)
+    jax.block_until_ready(gp)
+    rp = jax.jit(lambda *a: swin_block._post_ref(*a, h, w, win))(attn, xr, *ws)
+    perr = float(jnp.abs(gp.astype(jnp.float32) - rp.astype(jnp.float32)).max())
+    print(f"swin_post: err={perr:.4f}", flush=True)
+    assert perr < 0.1, perr
+
+
+@section("swinir_net")
+def sec_swinir_net():
+    import jax
+    import jax.numpy as jnp
+
+    from edtr_tpu.models.swinir import SwinIR
+    from edtr_tpu.utils.benchtime import timeit_chained as tc
+
+    batch = 8
+    x = jax.random.uniform(jax.random.PRNGKey(0), (batch, 512, 512, 3))
+    kw = dict(img_size=64, embed_dim=180, depths=(6,) * 8, num_heads=(6,) * 8,
+              window_size=8, mlp_ratio=2.0, sf=8, upsampler="nearest+conv",
+              unshuffle=True, unshuffle_scale=8, dtype=jnp.bfloat16)
+    net_f = SwinIR(fused=True, **kw)
+    net_l = SwinIR(fused=False, **kw)
+    params = jax.jit(net_l.init)(jax.random.PRNGKey(1), x[:1])
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params)
+    _force("EDTR_SWIN_FUSED", "force")
+    ff = jax.jit(lambda p, v: net_f.apply(p, v)).lower(params, x).compile()
+    _force("EDTR_SWIN_FUSED", "1")
+    fl = jax.jit(lambda p, v: net_l.apply(p, v)).lower(params, x).compile()
+    of = ff(params, x)
+    ol = fl(params, x)
+    err = float(jnp.abs(of.astype(jnp.float32) - ol.astype(jnp.float32)).max())
+    assert err < 0.05, err
+    ms_f = tc(ff, params, x, iters=20) * 1e3
+    ms_l = tc(fl, params, x, iters=20) * 1e3
+    record("swin_block", "64x64x180", ms_f / batch, ms_l / batch, err,
+           note="full SwinIR net fused-vs-legacy, ms/img")
+
+
+@section("resblock_modules")
+def sec_resblock_modules():
+    import jax
+    import jax.numpy as jnp
+
+    from edtr_tpu.models.unet import ResBlock
+    from edtr_tpu.models.vae import ResnetBlock
+    from edtr_tpu.utils.benchtime import timeit_chained as tc
+
+    def ab(label, mod_f, mod_l, init_args, tol=0.25):
+        pv = jax.jit(mod_l.init)({"params": jax.random.PRNGKey(23)},
+                                 *init_args)["params"]
+        pv = jax.tree.map(lambda a: a + 0.02, pv)
+        _force("EDTR_GNCONV_FUSED", "force")
+        _force("EDTR_UPSCONV_FUSED", "force")
+        ff = jax.jit(lambda p, *a: mod_f.apply({"params": p}, *a)).lower(
+            pv, *init_args).compile()
+        _force("EDTR_GNCONV_FUSED", "1")
+        _force("EDTR_UPSCONV_FUSED", "1")
+        fl = jax.jit(lambda p, *a: mod_l.apply({"params": p}, *a)).lower(
+            pv, *init_args).compile()
+        o1 = ff(pv, *init_args)
+        o2 = fl(pv, *init_args)
+        err = float(jnp.abs(o1.astype(jnp.float32)
+                            - o2.astype(jnp.float32)).max())
+        assert err < tol, (label, err)
+        tf = tc(ff, pv, *init_args, iters=10) * 1e3
+        tl = tc(fl, pv, *init_args, iters=10) * 1e3
+        RESULT["modules"][label] = {
+            "fused_ms": round(tf, 4), "legacy_ms": round(tl, 4),
+            "speedup": round(tl / tf, 3), "err": round(err, 5)}
+        print(f"{label}: err={err:.4f} fused {tf:.3f} ms  legacy {tl:.3f} ms"
+              f"  speedup {tl / tf:.2f}x", flush=True)
+
+    xb = jax.random.normal(jax.random.PRNGKey(21), (8, 64, 64, 640),
                            jnp.bfloat16)
-    wu = jnp.asarray(_np.random.default_rng(42).standard_normal(
-        (3, 3, cin, cout)) * 0.02, jnp.float32)
-    bu = jnp.asarray(_np.random.default_rng(43).standard_normal(cout) * 0.05,
-                     jnp.float32)
-    fu = jax.jit(lambda *a: _gnc.upsample_conv(*a, act)).lower(
-        xu, wu, bu).compile()
-    fru = jax.jit(lambda *a: _gnc._ups_ref(*a, act)).lower(
-        xu, wu, bu).compile()
-    ou = fu(xu, wu, bu); ru = fru(xu, wu, bu)
-    ue = float(jnp.abs(ou.astype(jnp.float32) - ru.astype(jnp.float32)).max())
-    tu = _tc(fu, xu, wu, bu, iters=10) * 1e3
-    tru = _tc(fru, xu, wu, bu, iters=10) * 1e3
-    print(f"ups_conv {hl}->{hl*2} {cin}->{cout} act={act}: err={ue:.4f} "
-          f"pallas {tu:.3f} ms  xla {tru:.3f} ms  speedup {tru/tu:.2f}x",
+    eb = jax.random.normal(jax.random.PRNGKey(22), (8, 1280), jnp.bfloat16)
+    ab("unet_rb_64x64_640to320",
+       ResBlock(out_channels=320, dtype=jnp.bfloat16, fused=True),
+       ResBlock(out_channels=320, dtype=jnp.bfloat16, fused=False),
+       (xb, eb))
+    xv = jax.random.normal(jax.random.PRNGKey(31), (4, 512, 512, 256),
+                           jnp.bfloat16)
+    ab("vae_rb_512x512_256to128",
+       ResnetBlock(out_channels=128, dtype=jnp.bfloat16, fused=True),
+       ResnetBlock(out_channels=128, dtype=jnp.bfloat16, fused=False),
+       (xv,))
+
+
+@section("bs16_detect")
+def sec_bs16():
+    import jax
+    import jax.numpy as jnp
+
+    from edtr_tpu.models.faster_rcnn import fasterrcnn_mobilenet_v3_large_fpn
+    from edtr_tpu.utils.benchtime import timeit_chained as tc
+
+    det = fasterrcnn_mobilenet_v3_large_fpn(num_classes=21,
+                                            dtype=jnp.bfloat16)
+    dv = jax.jit(det.init)({"params": jax.random.PRNGKey(7)},
+                           jnp.zeros((16, 512, 512, 3)))
+    x = jax.random.uniform(jax.random.PRNGKey(3),
+                           (16, 512, 512, 3)).astype(jnp.bfloat16)
+    t0 = time.time()
+    fn = jax.jit(lambda v, xx: det.apply(v, xx)[0]["scores"]).lower(
+        dv, x).compile()
+    print(f"bs16 detect compiled in {time.time() - t0:.1f}s", flush=True)
+    s = fn(dv, x)
+    s.block_until_ready()
+    fn8 = jax.jit(lambda v, xx: det.apply(v, xx)[0]["scores"]).lower(
+        dv, x[:8]).compile()
+    s8 = fn8(dv, x[:8])
+    d = float(jnp.abs(s[:8].astype(jnp.float32)
+                      - s8.astype(jnp.float32)).max())
+    print(f"bs16[0:8] vs bs8 scores max_abs_diff={d:.5f}", flush=True)
+    assert d < 1e-2, d
+    ms16 = tc(fn, dv, x, iters=10) * 1e3
+    ms8 = tc(fn8, dv, x[:8], iters=10) * 1e3
+    RESULT["modules"]["detect_bs16_vs_bs8"] = {
+        "bs16_ms_per_img": round(ms16 / 16, 3),
+        "bs8_ms_per_img": round(ms8 / 8, 3),
+        "bs16_throughput_gain": round((ms8 / 8) / (ms16 / 16), 3)}
+    print(f"detect: bs16 {ms16 / 16:.2f} ms/img vs bs8 {ms8 / 8:.2f} ms/img",
           flush=True)
-    assert ue < 0.25, ue
 
-# --- 2.8 cost-analysis cross-check: pallas flops visible to XLA? ---
-def _fl(compiled):
-    cost = compiled.cost_analysis()
-    if isinstance(cost, list): cost = cost[0] if cost else {}
-    return float(cost.get("flops", 0.0))
-fk2 = jax.jit(lambda *a: _geglu.geglu_proj(*a)).lower(xg, whg, wgg, bhg, bgg).compile()
-fr2 = jax.jit(lambda *a: _geglu._ref(*a)).lower(xg, whg, wgg, bhg, bgg).compile()
-print(f"cost-analysis flops: pallas {_fl(fk2):.3e}  xla-ref {_fl(fr2):.3e}", flush=True)
 
-# --- 3. fused SwinIR ---
-from edtr_tpu.models.swinir import SwinIR
-from edtr_tpu.utils.benchtime import timeit_chained
-BATCH = 8
-xs = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, 512, 512, 3))
-kw = dict(img_size=64, embed_dim=180, depths=(6,)*8, num_heads=(6,)*8,
-          window_size=8, mlp_ratio=2.0, sf=8, upsampler="nearest+conv",
-          unshuffle=True, unshuffle_scale=8, dtype=jnp.bfloat16)
-net_f = SwinIR(fused=True, **kw); net_l = SwinIR(fused=False, **kw)
-params = jax.jit(net_l.init)(jax.random.PRNGKey(1), xs[:1])
-params = jax.tree.map(lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params)
-t0 = time.time()
-f_fused = jax.jit(lambda p, v: net_f.apply(p, v)).lower(params, xs).compile()
-print(f"fused swinir compiled {time.time()-t0:.1f}s", flush=True)
-t0 = time.time()
-f_leg = jax.jit(lambda p, v: net_l.apply(p, v)).lower(params, xs).compile()
-print(f"legacy swinir compiled {time.time()-t0:.1f}s", flush=True)
-of = f_fused(params, xs); ol = f_leg(params, xs)
-err = float(jnp.abs(of.astype(jnp.float32) - ol.astype(jnp.float32)).max())
-print(f"swinir fused numerics: max_abs_err={err:.5f}", flush=True)
-assert err < 0.05, err
-ms_f = timeit_chained(f_fused, params, xs, iters=20) * 1e3
-ms_l = timeit_chained(f_leg, params, xs, iters=20) * 1e3
-print(json.dumps({"swinir_fused_ms_per_img": round(ms_f/BATCH, 3),
-                  "swinir_legacy_ms_per_img": round(ms_l/BATCH, 3),
-                  "speedup": round(ms_l/ms_f, 3)}), flush=True)
-print("ALL CHIP CHECKS PASSED", flush=True)
+@section("cost_analysis")
+def sec_cost():
+    import jax
+    import jax.numpy as jnp
+
+    from edtr_tpu.ops import geglu
+
+    def fl(compiled):
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0] if cost else {}
+        return float(cost.get("flops", 0.0))
+
+    seq, ch = 256, 1280
+    inner = 4 * ch
+    g = np.random.default_rng(9)
+    x = jnp.asarray(g.standard_normal((8, seq, ch)), jnp.bfloat16)
+    wh = jnp.asarray(g.standard_normal((ch, inner)) * 0.05, jnp.float32)
+    wg = jnp.asarray(g.standard_normal((ch, inner)) * 0.05, jnp.float32)
+    bh = jnp.asarray(g.standard_normal(inner), jnp.float32)
+    bg = jnp.asarray(g.standard_normal(inner), jnp.float32)
+    _force("EDTR_GEGLU_FUSED", "force")
+    fk = jax.jit(lambda *a: geglu.geglu_proj(*a)).lower(
+        x, wh, wg, bh, bg).compile()
+    _force("EDTR_GEGLU_FUSED", "1")
+    fr = jax.jit(lambda *a: geglu._ref(*a)).lower(
+        x, wh, wg, bh, bg).compile()
+    pf, rf = fl(fk), fl(fr)
+    print(f"cost-analysis flops: pallas {pf:.3e}  xla-ref {rf:.3e}",
+          flush=True)
+    RESULT["meta"]["cost_analysis_flops"] = {"pallas": pf, "xla": rf}
+    assert pf > 0.5 * rf, "pallas CostEstimate flops invisible to XLA"
+
+
+def main():
+    global OUT_PATH
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "results", "chip_queue", "kernel_wins.json"))
+    ap.add_argument("--sections", default="",
+                    help="comma-separated subset to run")
+    args = ap.parse_args()
+    OUT_PATH = args.out
+
+    import jax
+
+    RESULT["meta"]["devices"] = [str(d) for d in jax.devices()]
+    RESULT["meta"]["timestamp"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    print("devices:", jax.devices(), flush=True)
+
+    all_sections = [
+        ("flash_attention", sec_flash),
+        ("geglu", sec_geglu),
+        ("ln_matmul", sec_lnmm),
+        ("gn_conv_unet", sec_gn_unet),
+        ("gn_conv_vae", sec_gn_vae),
+        ("ups_conv", sec_ups),
+        ("swin_kernels", sec_swin_kernels),
+        ("swinir_net", sec_swinir_net),
+        ("resblock_modules", sec_resblock_modules),
+        ("bs16_detect", sec_bs16),
+        ("cost_analysis", sec_cost),
+    ]
+    want = [s for s in args.sections.split(",") if s]
+    for name, fn in all_sections:
+        if want and name not in want:
+            continue
+        fn()
+    flush()
+    bad = {k: v for k, v in RESULT["sections"].items() if v != "ok"}
+    print(json.dumps({"sections_ok": len(RESULT["sections"]) - len(bad),
+                      "sections_failed": bad}), flush=True)
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
