@@ -8,13 +8,32 @@ fused kernel runs at a shape only if
 
   (a) the fail-safe probe says it compiles + matches numerically
       (``ops/kernel_probe.py`` flips the family kill-switch otherwise), and
-  (b) the measured table here says it WINS at that shape — standalone
-      per-shape on-chip timing from ``tools/verify_chip.py``
-      (results/chip_queue/kernel_wins.json), cross-checked by the e2e
-      stage A/B in ``tools/ab_e2e.py``.
+  (b) it wins BOTH measurements: standalone per-shape on-chip timing
+      (``tools/verify_chip.py`` -> results/chip_queue/kernel_wins.json)
+      AND the end-to-end stage A/B (``tools/ab_e2e.py`` ->
+      results/chip_queue/ab_e2e.json), each family toggled against the
+      all-XLA baseline at the flagship shapes.
 
-Shapes absent from the table use the per-family rule derived from the same
-measurements (conservative: lose -> XLA).
+Round-4 verdict of that A/B (v5e, bs8, 10 iters/config): standalone wins
+do NOT transfer end-to-end for the conv/GEMM families. The whole-array
+Pallas calls pin layouts and cut XLA's cross-op fusion around them, so a
+kernel that beats the *isolated* XLA op still loses the *stage*:
+
+  vae_encode: all-off 7.56 ms/img vs table-on 9.26   (gn_conv "wins"
+              1.38-1.85x standalone; stage regresses 18%)
+  decode:     all-off 16.57 vs table-on 20.50        (gn_conv+ups_conv
+              standalone winners; stage regresses 20%)
+  scan:       all-off 37.88 vs table-on 38.39        (ln_matmul 1.47-3.3x
+              standalone at K=3; stage-neutral-to-worse)
+  swinir:     fused swin_block 10.10 vs off 10.16    (the one family that
+              holds its win e2e -- it fuses an entire block, leaving no
+              fusion boundary for XLA to lose)
+
+Hence the shipped table: every geglu/ln_matmul/affine_matmul/gn_conv/
+ups_conv shape is OFF (their standalone speedups stay recorded in
+kernel_wins.json; re-enable per shape only with a NEW e2e A/B showing the
+stage win), and swin_block is ON. Shapes absent from the table use the
+per-family rule (conservative: off everywhere except swin_block).
 
 Env contract (one switch per family, 3-state):
 
@@ -75,38 +94,39 @@ ENV_SWITCH = {
 #   swin_block:        "<H>x<W>x<C>"
 # ---------------------------------------------------------------------------
 _BUILTIN: Dict[str, Dict[str, bool]] = {
-    # r3 sweep: 4096x320 0.55x / 1024x640 0.63x losses; 256x1280 measured
-    # 1.09x at cc=1280 but that tiling now OOMs the 16M scoped VMEM limit
-    # (r4) — the kernel runs cc=640 there now, unmeasured, so it ships off
-    # until the r4 sweep re-prices it.
+    # r4 sweep: 4096x320 1.13x standalone, 1024/256 lose; scan stage A/B
+    # shows no e2e win for any geglu config -> off.
     "geglu": {
         "4096x320->1280": False,
         "1024x640->2560": False,
         "256x1280->5120": False,
     },
-    # self-attn qkv (K=3): 1.47x/3.32x wins at 4096/1024, 0.86x loss at
-    # 256x1280. cross-attn q-only (K=1): all three shapes lose (0.35-0.80x
-    # - one small GEMM amortizes nothing).
+    # self-attn qkv (K=3) wins standalone (1.47x/3.32x at 4096/1024) but
+    # the scan stage runs FASTER with ln_matmul disabled (no_lnmm 38.08 vs
+    # table 38.39 ms/img) -> e2e gate fails, all off. cross-attn q-only
+    # (K=1) loses both ways.
     "ln_matmul": {
-        "4096x320->320x3": True,
-        "1024x640->640x3": True,
+        "4096x320->320x3": False,
+        "1024x640->640x3": False,
         "256x1280->1280x3": False,
         "4096x320->320x1": False,
         "1024x640->640x1": False,
         "256x1280->1280x1": False,
     },
-    # 0.97x/0.64x at 4096/1024 (lose), 1.21x at 256x1280 (win).
+    # 1.01-1.14x standalone (r4), but same e2e gate as ln_matmul (shared
+    # family switch; scan stage all-off is fastest) -> off.
     "affine_matmul": {
         "4096x320->320": False,
         "1024x640->640": False,
-        "256x1280->1280": True,
+        "256x1280->1280": False,
     },
-    # UNet levels: 64' band 1.78-1.87x win; 32' 0.68x / 8' 0.66x losses.
-    # VAE 512'/256' wins (1.38-1.85x); 128' 512->512 1.05x, latent-res 64'
-    # 512ch 1.33x/1.12x wins.
+    # Standalone: 64' band 1.78-1.87x, VAE 512'/256' 1.38-1.85x. E2E: the
+    # vae_encode stage regresses 7.56->9.26 ms/img and decode 16.57->20.50
+    # with these on, and scan is fastest with gn_conv off (37.75 no_gnconv
+    # vs 38.39 table) -> every shape off.
     "gn_conv": {
-        "64x64x640->320": True,
-        "64x64x960->320": True,
+        "64x64x640->320": False,
+        "64x64x960->320": False,
         "32x32x640->640": False,
         "32x32x960->640": False,
         "32x32x1280->640": False,
@@ -114,36 +134,38 @@ _BUILTIN: Dict[str, Dict[str, bool]] = {
         "16x16x2560->1280": False,
         "8x8x1280->1280": False,
         "8x8x2560->1280": False,
-        # VAE decoder/encoder resblocks (r4: all measured win)
-        "512x512x128->128": True,
-        "512x512x256->128": True,
-        "256x256x256->256": True,
-        "256x256x512->256": True,
-        "128x128x512->512": True,
-        "64x64x512->512": True,
+        "512x512x128->128": False,
+        "512x512x256->128": False,
+        "256x256x256->256": False,
+        "256x256x512->256": False,
+        "128x128x512->512": False,
+        "64x64x512->512": False,
     },
-    # VAE decoder upsamples win 1.55-1.64x; UNet 32'->64' 640ch 1.12x win,
-    # 16'->32' 1280ch 0.95x loss.
+    # Standalone: VAE upsamples 1.55-1.64x. E2E: decode all-off 16.57 vs
+    # any-kernels-on 20.07-20.82 ms/img -> off.
     "ups_conv": {
-        "512x512x256->256": True,
-        "256x256x512->512": True,
-        "128x128x512->512": True,
-        "64x64x640->640": True,
+        "512x512x256->256": False,
+        "256x256x512->512": False,
+        "128x128x512->512": False,
+        "64x64x640->640": False,
         "32x32x1280->1280": False,
     },
-    # r4 e2e A/B: fused swinir stage vs legacy at the flagship 64x64x180.
+    # The one family that wins its stage e2e: fused swinir 10.10 vs legacy
+    # 10.16 ms/img at the flagship 64x64x180 (and a cleaner compile).
     "swin_block": {
         "64x64x180": True,
     },
 }
 
-# conservative fallback per family for shapes the table has never measured
+# conservative fallback for shapes the table has never measured: off for
+# every family whose measured shapes failed the e2e gate; swin_block stays
+# rule-on (its family holds the win e2e and shapes are compile-gated).
 _RULES = {
-    "geglu": lambda n, c, inner: inner >= 5120,
-    "ln_matmul": lambda n, c, o, k: k >= 3 and n >= 1024,
-    "affine_matmul": lambda n, c, o: n <= 256,
-    "gn_conv": lambda h, w, cin, cout: h >= 64,
-    "ups_conv": lambda h2, w2, cin, cout: h2 >= 64,
+    "geglu": lambda n, c, inner: False,
+    "ln_matmul": lambda n, c, o, k: False,
+    "affine_matmul": lambda n, c, o: False,
+    "gn_conv": lambda h, w, cin, cout: False,
+    "ups_conv": lambda h2, w2, cin, cout: False,
     "swin_block": lambda h, w, c: True,
 }
 

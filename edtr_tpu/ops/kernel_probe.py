@@ -118,7 +118,23 @@ def ensure_fused_kernels_usable() -> dict:
     from edtr_tpu.ops import geglu, gn_conv, ln_matmul, swin_block
 
     def status():
-        s = {k: _enabled(k) for k in _SWITCHES}
+        # report what actually RUNS: env kill-switch AND the measured
+        # dispatch table (a family whose entries are all off never takes a
+        # Pallas path even with its env switch at the default)
+        from edtr_tpu.ops import dispatch
+
+        tab = dispatch.table()
+
+        def active(name):
+            if not _enabled(name):
+                return False
+            if dispatch.env_mode(name) == "force":
+                return True
+            fams = (("ln_matmul", "affine_matmul") if name == "ln_matmul"
+                    else (name,))
+            return any(any(tab.get(f, {}).values()) for f in fams)
+
+        s = {k: active(k) for k in _SWITCHES}
         s["gn_conv_band"] = s["gn_conv"] and gn_conv._band_enabled()
         return s
 

@@ -205,3 +205,29 @@ def test_extract_broadcast_shape():
     out = extract(table, t, 4)
     assert out.shape == (3, 1, 1, 1)
     np.testing.assert_allclose(np.asarray(out).ravel(), [1.0, 2.0, 3.0])
+
+
+def test_sample_scan_unroll_invariant(monkeypatch):
+    """unroll is a scheduling knob only: fully unrolled, partially unrolled,
+    env-selected, and rolled scans must agree bitwise-closely (same rng
+    path; lax.scan semantics are unroll-independent)."""
+    betas = make_beta_schedule("linear", 1000, 0.00085, 0.0120)
+    sched = make_spaced_schedule(betas, 4, [50, 100, 150, 200])
+    model_fn = lambda x, t, cond: 0.1 * x + cond["c"]
+    x_T = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 8, 8, 4)), jnp.float32
+    )
+    cond = {"c": jnp.full((1, 1, 1, 4), 0.05, jnp.float32)}
+    rng = jax.random.PRNGKey(7)
+
+    outs = [
+        jax.jit(lambda xT, key, u=u: sample_scan(
+            model_fn, sched, xT, cond, key, unroll=u))(x_T, rng)
+        for u in (1, 2, 4)
+    ]
+    monkeypatch.setenv("EDTR_SCAN_UNROLL", "4")
+    outs.append(jax.jit(lambda xT, key: sample_scan(
+        model_fn, sched, xT, cond, key))(x_T, rng))
+    for o in outs[1:]:
+        np.testing.assert_allclose(np.asarray(o), np.asarray(outs[0]),
+                                   rtol=1e-6, atol=1e-6)

@@ -20,34 +20,42 @@ def _reset_multichip():
 
 
 def test_builtin_table_measured_entries():
-    # the r3-measured losses must be off, the wins on
+    # r4 e2e A/B gate (results/chip_queue/ab_e2e.json): standalone winners
+    # that regress their stage ship OFF; only swin_block holds its win e2e.
     assert not dispatch.decide("geglu", "4096x320->1280", 4096, 320, 1280)
     assert not dispatch.decide("geglu", "1024x640->2560", 1024, 640, 2560)
-    # 256x1280 measured 1.09x at cc=1280 in r3 but that tiling OOMs the
-    # 16M scoped VMEM limit now; ships off until re-measured at cc=640
     assert not dispatch.decide("geglu", "256x1280->5120", 256, 1280, 5120)
-    assert dispatch.decide("ln_matmul", "4096x320->320x3", 4096, 320, 320, 3)
+    # 1.47-3.32x standalone at K=3 but the scan stage is faster with them
+    # off (no_lnmm 38.08 vs table 38.39 ms/img)
+    assert not dispatch.decide("ln_matmul", "4096x320->320x3",
+                               4096, 320, 320, 3)
     assert not dispatch.decide("ln_matmul", "256x1280->1280x3",
                                256, 1280, 1280, 3)
     assert not dispatch.decide("affine_matmul", "1024x640->640",
                                1024, 640, 640)
-    assert dispatch.decide("gn_conv", "64x64x640->320", 64, 64, 640, 320)
+    # 1.38-1.87x standalone but vae_encode 7.56->9.26 / decode 16.57->20.50
+    # ms/img with them on
+    assert not dispatch.decide("gn_conv", "64x64x640->320", 64, 64, 640, 320)
     assert not dispatch.decide("gn_conv", "32x32x640->640", 32, 32, 640, 640)
     assert not dispatch.decide("gn_conv", "8x8x1280->1280", 8, 8, 1280, 1280)
-    assert dispatch.decide("gn_conv", "512x512x256->128", 512, 512, 256, 128)
-    assert dispatch.decide("ups_conv", "512x512x256->256", 512, 512, 256, 256)
+    assert not dispatch.decide("gn_conv", "512x512x256->128",
+                               512, 512, 256, 128)
+    assert not dispatch.decide("ups_conv", "512x512x256->256",
+                               512, 512, 256, 256)
+    # fused swinir stage 10.10 vs legacy 10.16 ms/img
+    assert dispatch.decide("swin_block", "64x64x180", 64, 64, 180)
 
 
 def test_unknown_shape_uses_family_rule():
-    # geglu rule: inner >= 5120 only
+    # every family whose measured shapes failed the e2e gate is off for
+    # unmeasured shapes too; swin_block stays rule-on
     assert not dispatch.decide("geglu", "512x999->3996", 512, 999, 3996)
-    assert dispatch.decide("geglu", "512x1280->5120x9", 512, 1280, 5120)
-    # gn_conv rule: h >= 64
-    assert dispatch.decide("gn_conv", "96x96x384->384", 96, 96, 384, 384)
+    assert not dispatch.decide("geglu", "512x1280->5120x9", 512, 1280, 5120)
+    assert not dispatch.decide("gn_conv", "96x96x384->384", 96, 96, 384, 384)
     assert not dispatch.decide("gn_conv", "24x24x384->384", 24, 24, 384, 384)
-    # ln_matmul rule: k >= 3 and n >= 1024
     assert not dispatch.decide("ln_matmul", "4096x999->999x1",
                                4096, 999, 999, 1)
+    assert dispatch.decide("swin_block", "48x48x180", 48, 48, 180)
 
 
 def test_env_modes(monkeypatch):
@@ -63,15 +71,19 @@ def test_env_modes(monkeypatch):
 def test_table_override_file(tmp_path, monkeypatch):
     p = tmp_path / "table.json"
     p.write_text(json.dumps({
-        "gn_conv": {"64x64x640->320": False, "77x77x128->128": True}}))
+        "gn_conv": {"64x64x640->320": True, "77x77x128->128": True},
+        "swin_block": {"64x64x180": False}}))
     monkeypatch.setenv("EDTR_KERNEL_TABLE", str(p))
-    # override wins over the built-in entry...
-    assert not dispatch.decide("gn_conv", "64x64x640->320", 64, 64, 640, 320)
-    assert dispatch.decide("gn_conv", "77x77x128->128", 77, 77, 128, 128)
-    # ...and untouched built-ins persist (merge, not replace)
-    assert dispatch.decide("gn_conv", "512x512x256->128", 512, 512, 256, 128)
-    monkeypatch.delenv("EDTR_KERNEL_TABLE")
+    # override wins over the built-in entry (both directions)...
     assert dispatch.decide("gn_conv", "64x64x640->320", 64, 64, 640, 320)
+    assert dispatch.decide("gn_conv", "77x77x128->128", 77, 77, 128, 128)
+    assert not dispatch.decide("swin_block", "64x64x180", 64, 64, 180)
+    # ...and untouched built-ins persist (merge, not replace)
+    assert not dispatch.decide("gn_conv", "512x512x256->128",
+                               512, 512, 256, 128)
+    monkeypatch.delenv("EDTR_KERNEL_TABLE")
+    assert not dispatch.decide("gn_conv", "64x64x640->320", 64, 64, 640, 320)
+    assert dispatch.decide("swin_block", "64x64x180", 64, 64, 180)
 
 
 def test_multichip_disables_every_family(monkeypatch):
