@@ -75,7 +75,8 @@ def _stage_breakdown(pipe, params, det, det_vars, lq, c_txt, rng):
     Mirrors tools/profile_stages.py; failures degrade to None per stage so
     the primary throughput line always prints. Returns ``(stages,
     scan_flops)`` where scan_flops is the denoise executable's cost-analysis
-    flops (body counted ONCE — see the scan correction in the callers).
+    flops (body counted ``scan_bodies_counted(K)`` times — the callers
+    normalize to per-body before scaling by trip count).
     """
     import jax
     import jax.numpy as jnp
@@ -216,8 +217,15 @@ def main() -> None:
             if WITH_STAGES and not tiny:
                 stages, scan_flops = _stage_breakdown(
                     pipe, params, detnet, det_vars, lq, c_txt, rng)
-            if scan_flops:  # scan body counted once in the fused executable
-                total_flops += (len(pipe.used_timesteps) - 1) * scan_flops
+            if scan_flops:
+                # cost analysis already counted `bodies` copies of the scan
+                # body inside the fused executable (1 rolled, `unroll` + rem
+                # when EDTR_SCAN_UNROLL is set); add the uncounted trips
+                from edtr_tpu.diffusion.sampler import scan_bodies_counted
+
+                K = len(pipe.used_timesteps)
+                bodies = scan_bodies_counted(K)
+                total_flops += (K - bodies) * (scan_flops / bodies)
             _report(dt, total_flops, detnet, image_size, stages)
             return
         except Exception as e:
@@ -276,8 +284,12 @@ def main() -> None:
     if WITH_STAGES and not tiny:
         stages, scan_flops = _stage_breakdown(
             pipe, params, detnet, det_vars, lq, c_txt, rng)
-    if scan_flops:  # scan body counted once in the restore executable
-        total_flops += (len(pipe.used_timesteps) - 1) * scan_flops
+    if scan_flops:  # see the unroll-aware accounting note in the FUSED path
+        from edtr_tpu.diffusion.sampler import scan_bodies_counted
+
+        K = len(pipe.used_timesteps)
+        bodies = scan_bodies_counted(K)
+        total_flops += (K - bodies) * (scan_flops / bodies)
     _report(dt, total_flops, detnet, image_size, stages)
 
 
@@ -378,13 +390,18 @@ def _run_split(pipe, params, detnet, det_vars, prev0, c_txt, rng):
         sink += float(last_scores.astype(jnp.float32).mean())
     dt = (time.time() - t0) / (ITERS * streams)
 
-    # XLA cost analysis counts a lax.scan body ONCE regardless of trip
-    # count (verified: an 8-iter scan of a 256³ matmul reports 1x body
-    # flops). The denoise executable is ~entirely its body — K UNet +
-    # ControlNet forwards; q_sample/posterior are negligible elementwise —
-    # so true scan flops = K x reported (error < 0.1%).
+    # XLA cost analysis counts ONE copy of a lax.scan body per copy present
+    # in the HLO, regardless of trip count: 1 for a rolled scan, `unroll`
+    # (+ remainder) when EDTR_SCAN_UNROLL is set, K when fully unrolled
+    # (scan_bodies_counted, verified empirically). The denoise executable is
+    # ~entirely its body — K UNet + ControlNet forwards; q_sample/posterior
+    # are negligible elementwise — so true scan flops =
+    # K x reported / bodies_counted (error < 0.1%).
+    from edtr_tpu.diffusion.sampler import scan_bodies_counted
+
+    K = len(pipe.used_timesteps)
     stage_flops = {k: _flops(c) for k, c in aot.items()}
-    stage_flops["scan"] *= len(pipe.used_timesteps)
+    stage_flops["scan"] *= K / scan_bodies_counted(K)
     total_flops = sum(stage_flops.values())
 
     # per-stage steady state with the SAME executables
@@ -429,9 +446,10 @@ def _report(dt, total_flops, detnet, image_size, stages=None, stage_flops=None):
         "mfu": round(mfu, 4),
         "tflops_per_img": round(total_flops / BATCH / 1e12, 2),
         "e2e_ms_per_img": round(dt * 1e3 / BATCH, 2),
-        # rounds <=2 underreported MFU: XLA cost analysis counts the K-step
-        # denoise scan body once; flops here scale it by K
-        "flops_accounting": "scan body x K",
+        # rounds <=2 underreported MFU: XLA cost analysis counts one scan
+        # body per HLO copy (1 rolled, `unroll` when EDTR_SCAN_UNROLL is
+        # set); flops here normalize to per-body and scale by K
+        "flops_accounting": "scan body x K / bodies_counted",
         # which optional fused Pallas kernels were active (the
         # fail-safe probe flips these off instead of crashing; idempotent)
         "fused_kernels": __import__(

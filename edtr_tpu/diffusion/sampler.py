@@ -165,6 +165,27 @@ def _scan_unroll(num_steps: int) -> int:
     return 1
 
 
+def scan_bodies_counted(num_steps: int, unroll: Optional[int] = None) -> int:
+    """How many copies of the scan body XLA cost analysis sees.
+
+    ``compiled.cost_analysis()`` counts a ``lax.scan`` body once per copy
+    present in the HLO, regardless of trip count: a rolled scan contributes
+    1x body flops, an unroll-``u`` scan contributes ``u`` copies in the main
+    while body plus ``num_steps % u`` remainder iterations, and a fully
+    unrolled scan contributes all ``num_steps`` (verified empirically on
+    XLA:CPU for (n,u) in {(4,1),(4,2),(4,4),(5,2),(6,4),(4,3)}). Benchmarks
+    that scale cost-analysis flops by trip count must divide by this first —
+    round-3's 4-step scan MFU was *under*counted rolled, and an unrolled
+    default would have *over*counted it 4x (the 1.17 "MFU" in
+    results/chip_queue/bench_r4_defaults.log).
+    """
+    u = _scan_unroll(num_steps) if unroll is None else max(
+        1, min(unroll, num_steps))
+    if u >= num_steps:
+        return num_steps
+    return u + num_steps % u
+
+
 def sample_scan(
     model_fn: ModelFn,
     schedule: SpacedSchedule,

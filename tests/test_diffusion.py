@@ -231,3 +231,39 @@ def test_sample_scan_unroll_invariant(monkeypatch):
     for o in outs[1:]:
         np.testing.assert_allclose(np.asarray(o), np.asarray(outs[0]),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_scan_bodies_counted_matches_cost_analysis(monkeypatch):
+    """scan_bodies_counted must predict how many scan-body copies XLA cost
+    analysis reports, for every unroll mode the sampler can emit — the bench
+    normalizes cost-analysis flops by it before scaling by trip count
+    (an unrolled default would otherwise overcount MFU by the unroll factor;
+    see results/chip_queue/bench_r4_defaults.log's 1.17 "MFU")."""
+    from edtr_tpu.diffusion.sampler import scan_bodies_counted
+
+    def measured_bodies(n, unroll):
+        def body(c, _):
+            return c @ c, None
+
+        def f(x):
+            y, _ = jax.lax.scan(body, x, None, length=n, unroll=unroll)
+            return y
+
+        x = jnp.ones((64, 64), jnp.float32)
+        ex = jax.jit(f).lower(x).compile()
+        cost = ex.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        base = 2 * 64 ** 3  # one body's matmul flops
+        return round(float(cost["flops"]) / base)
+
+    for n, u in [(4, 1), (4, 2), (4, 4), (5, 2), (6, 4), (4, 3)]:
+        assert scan_bodies_counted(n, u) == measured_bodies(n, u), (n, u)
+
+    # env-driven default path (what bench.py calls with unroll=None)
+    monkeypatch.delenv("EDTR_SCAN_UNROLL", raising=False)
+    assert scan_bodies_counted(4) == 1
+    monkeypatch.setenv("EDTR_SCAN_UNROLL", "4")
+    assert scan_bodies_counted(4) == 4
+    monkeypatch.setenv("EDTR_SCAN_UNROLL", "3")
+    assert scan_bodies_counted(4) == 4  # 3 main copies + 1 remainder

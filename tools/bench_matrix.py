@@ -124,7 +124,12 @@ def main():
         t_compile = time.time() - t0
         flops = _flops(compiled)
         if flops:
-            flops += max(scan_steps.get(variant, 1) - 1, 0) * model_flops
+            # the sampler body is counted once per HLO copy —
+            # scan_bodies_counted(K) of them when EDTR_SCAN_UNROLL is set
+            from edtr_tpu.diffusion.sampler import scan_bodies_counted
+
+            K = scan_steps.get(variant, 1)
+            flops += max(K - scan_bodies_counted(max(K, 1)), 0) * model_flops
         # chained timing: independent re-dispatches do not serialize on the
         # tunneled chip (edtr_tpu/utils/benchtime.py documents the
         # measurements); feed lq through a zero scalar of the previous

@@ -120,7 +120,12 @@ def main():
                 cost = model_c.cost_analysis()
                 if isinstance(cost, list):
                     cost = cost[0] if cost else {}
-                step_flops += ACCUM * (K - 1) * float(cost.get("flops", 0.0))
+                # the inner sampler body is counted once per HLO copy —
+                # scan_bodies_counted(K) of them when EDTR_SCAN_UNROLL is set
+                from edtr_tpu.diffusion.sampler import scan_bodies_counted
+
+                uncounted = K - scan_bodies_counted(K)
+                step_flops += ACCUM * uncounted * float(cost.get("flops", 0.0))
             except Exception:
                 pass
 
