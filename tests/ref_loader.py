@@ -39,9 +39,32 @@ def _stub_torchvision():
     transforms_mod.Normalize = _Normalize
     tv.transforms = transforms_mod
     tv._is_tracing = lambda: False
+
+    # utils/common.py imports these two at module scope; the golden paths we
+    # exercise (SpacedSampler, wavelet, make_tiled_fn) never call them.
+    functional_mod = types.ModuleType("torchvision.transforms.functional")
+
+    def _tv_normalize(tensor, mean, std, inplace=False):
+        mean = torch.as_tensor(mean, dtype=tensor.dtype).view(-1, 1, 1)
+        std = torch.as_tensor(std, dtype=tensor.dtype).view(-1, 1, 1)
+        return (tensor - mean) / std
+
+    functional_mod.normalize = _tv_normalize
+    transforms_mod.functional = functional_mod
+    models_mod = types.ModuleType("torchvision.models")
+
+    def _get_model(name, **kw):
+        raise RuntimeError(
+            "torchvision.models.get_model is stubbed (no pretrained zoo in "
+            "this environment)")
+
+    models_mod.get_model = _get_model
+    tv.models = models_mod
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.transforms"] = transforms_mod
     sys.modules["torchvision.transforms.transforms"] = inner
+    sys.modules["torchvision.transforms.functional"] = functional_mod
+    sys.modules["torchvision.models"] = models_mod
 
 
 def _stub_timm():

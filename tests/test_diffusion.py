@@ -233,6 +233,131 @@ def test_sample_scan_unroll_invariant(monkeypatch):
                                    rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.golden
+def test_kstep_walk_matches_torch_spaced_sampler(monkeypatch):
+    """4-step EDTR walk golden vs the torch ``SpacedSampler`` (VERDICT r4
+    missing #3): the spaced-posterior reconstruction + K-step chain itself,
+    not just the one-step math.
+
+    Both sides drive the SAME tiny ControlNet+UNet (weights shared through
+    ``utils/convert``) from the same ``x_T`` with the same injected per-step
+    noise; oracle is ``manual_sample_with_timesteps``
+    (/root/reference/utils/sampler.py:267-323 -> :184-204 -> :85-133) around
+    ``model/cldm.py:166-194``'s forward (control_scales all 1).
+    """
+    import torch
+
+    from ref_loader import load_ref_module
+    from edtr_tpu.models.controlnet import ControlNet
+    from edtr_tpu.models.unet import UNetModel
+    from edtr_tpu.utils import convert as C
+    from test_unet_golden import CONV_TINY, OUR_TINY, TINY, _randomize
+
+    ref_cn_mod = load_ref_module("model.controlnet")
+    ref_sampler_mod = load_ref_module("utils.sampler")
+
+    tiny_cn = {k: v for k, v in TINY.items() if k != "out_channels"}
+    t_unet = ref_cn_mod.ControlledUnetModel(**TINY)
+    _randomize(t_unet, seed=0)
+    t_unet.eval()
+    t_cn = ref_cn_mod.ControlNet(hint_channels=4, **tiny_cn)
+    _randomize(t_cn, seed=1)
+    t_cn.eval()
+
+    class TorchCLDMLike:
+        """model/cldm.py:166-194 forward with control_scales == 1."""
+
+        def __call__(self, x, t, cond):
+            control = t_cn(x=x, hint=cond["c_img"], timesteps=t,
+                           context=cond["c_txt"])
+            return t_unet(x, timesteps=t, context=cond["c_txt"],
+                          control=list(control))
+
+    g = np.random.default_rng(11)
+    x_T = g.standard_normal((1, 4, 8, 8)).astype(np.float32)
+    c_img = g.standard_normal((1, 4, 8, 8)).astype(np.float32)
+    c_txt = g.standard_normal((1, 7, 48)).astype(np.float32)
+    used = [50, 100, 150, 200]
+    step_noises = [g.standard_normal((1, 4, 8, 8)).astype(np.float32)
+                   for _ in used]
+
+    # --- torch side: preset the per-step noise draws -----------------------
+    t_noises = [torch.from_numpy(n) for n in step_noises]
+    t_iter = iter(t_noises)
+    monkeypatch.setattr(torch, "randn_like", lambda x: next(t_iter))
+    betas = make_beta_schedule("linear", 1000, 0.00085, 0.0120)
+    t_sampler = ref_sampler_mod.SpacedSampler(betas)
+    with torch.no_grad():
+        ref_out = t_sampler.manual_sample_with_timesteps(
+            TorchCLDMLike(), "cpu", torch.from_numpy(x_T), len(used), used,
+            batch_size=1, cond={"c_img": torch.from_numpy(c_img),
+                                "c_txt": torch.from_numpy(c_txt)},
+            uncond=None, cfg_scale=1.0, progress=False,
+        ).numpy()
+
+    # --- schedule tables: exact parity with the registered buffers --------
+    sched = make_spaced_schedule(betas, len(used), used)
+    for name in ("sqrt_recip_alphas_cumprod", "sqrt_recipm1_alphas_cumprod",
+                 "posterior_variance", "posterior_log_variance_clipped",
+                 "posterior_mean_coef1", "posterior_mean_coef2"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sched, name)),
+            getattr(t_sampler, name).numpy(), rtol=0, atol=1e-7, err_msg=name)
+
+    # --- our side: same weights through the converter ---------------------
+    unet_params = C.convert_ldm_unet(
+        C.torch_state_dict_to_numpy(t_unet.state_dict()), **CONV_TINY)
+    cn_params = C.convert_controlnet(
+        C.torch_state_dict_to_numpy(t_cn.state_dict()), **CONV_TINY)
+    our_unet = UNetModel(**OUR_TINY)
+    our_cn = ControlNet(
+        hint_channels=4,
+        **{k: v for k, v in OUR_TINY.items() if k != "out_channels"})
+    cond = {"c_img": jnp.asarray(c_img.transpose(0, 2, 3, 1)),
+            "c_txt": jnp.asarray(c_txt)}
+
+    def model_fn(x, t, c):
+        control = our_cn.apply({"params": cn_params}, x, c["c_img"], t,
+                               c["c_txt"])
+        return our_unet.apply({"params": unet_params}, x, t, c["c_txt"],
+                              control=control)
+
+    # eager K-step loop with the SAME injected noise (jax.random.normal is
+    # only reached from p_sample's stochastic term in this loop)
+    j_noises = [jnp.asarray(n.transpose(0, 2, 3, 1)) for n in step_noises]
+    j_iter = iter(j_noises)
+    monkeypatch.setattr(jax.random, "normal",
+                        lambda key, shape, dtype=jnp.float32: next(j_iter))
+    x = jnp.asarray(x_T.transpose(0, 2, 3, 1))
+    key = jax.random.PRNGKey(0)
+    n = sched.num_steps
+    for i, ts in enumerate(np.flip(np.asarray(sched.timesteps))):
+        key, sub = jax.random.split(key)
+        t = jnp.full((1,), int(ts), jnp.int32)
+        index = jnp.full((1,), n - 1 - i, jnp.int32)
+        x, _ = p_sample(model_fn, sched, x, t, index, cond, sub)
+    monkeypatch.undo()
+
+    np.testing.assert_allclose(
+        np.asarray(x).transpose(0, 3, 1, 2), ref_out, rtol=1e-4, atol=1e-4)
+
+    # --- and the compiled scan path reproduces the eager loop with REAL
+    # noise for this exact model (the generic scan==loop test uses a toy fn)
+    rng = jax.random.PRNGKey(42)
+    out_scan = jax.jit(
+        lambda xT, k: sample_scan(model_fn, sched, xT, cond, k)
+    )(jnp.asarray(x_T.transpose(0, 2, 3, 1)), rng)
+    x2 = jnp.asarray(x_T.transpose(0, 2, 3, 1))
+    k2 = rng
+    for i, ts in enumerate(np.flip(np.asarray(sched.timesteps))):
+        k2, sub = jax.random.split(k2)
+        t = jnp.full((1,), int(ts), jnp.int32)
+        index = jnp.full((1,), n - 1 - i, jnp.int32)
+        x2, _ = p_sample(model_fn, sched, x2, t, index, cond, sub)
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(x2),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_scan_bodies_counted_matches_cost_analysis(monkeypatch):
     """scan_bodies_counted must predict how many scan-body copies XLA cost
     analysis reports, for every unroll mode the sampler can emit — the bench
