@@ -379,15 +379,17 @@ def _run_split(pipe, params, detnet, det_vars, prev0, c_txt, rng):
     outs = [chain(prev0, jax.random.fold_in(rng, 1000 + s))[0]
             for s in range(streams)]
     jax.block_until_ready(outs)
-    # two consecutive windows, same total work; a transient relay stall
+    # three consecutive windows, same total work; a transient relay stall
     # (the tunnel occasionally freezes dispatch for seconds — r4 measured
     # 12.9-13.5 img/s run-to-run spread on identical executables) lands in
-    # one window, not both. Steady-state throughput = the faster window;
-    # BOTH are reported (e2e_windows_ms_per_img) so a stall is visible,
-    # not hidden.
+    # one window. Headline = the MEDIAN window (ADVICE r4 #1: min-of-2 was
+    # an optimistic statistic — a real persistent slowdown straddling one
+    # window got discarded); a lone stalled window still gets filtered, and
+    # when the windows disagree >5% a stall flag is emitted. ALL windows are
+    # reported (e2e_windows_ms_per_img).
     window_dts = []
     last_scores = None
-    for w in range(2):
+    for w in range(3):
         t0 = time.time()
         for i in range(ITERS):
             for s in range(streams):
@@ -397,7 +399,8 @@ def _run_split(pipe, params, detnet, det_vars, prev0, c_txt, rng):
         window_dts.append((time.time() - t0) / (ITERS * streams))
     if last_scores is not None:
         sink += float(last_scores.astype(jnp.float32).mean())
-    dt = min(window_dts)
+    dt = sorted(window_dts)[len(window_dts) // 2]
+    window_stall = (max(window_dts) - min(window_dts)) / min(window_dts) > 0.05
 
     # XLA cost analysis counts ONE copy of a lax.scan body per copy present
     # in the HLO, regardless of trip count: 1 for a rolled scan, `unroll`
@@ -429,6 +432,8 @@ def _run_split(pipe, params, detnet, det_vars, prev0, c_txt, rng):
     stages["throughput_streams"] = streams
     stages["e2e_windows_ms_per_img"] = [
         round(w * 1e3 / BATCH, 2) for w in window_dts]
+    if window_stall:
+        stages["window_stall"] = True  # >5% spread across the 3 windows
 
     _report(dt, total_flops, detnet, image_size, stages, stage_flops)
 

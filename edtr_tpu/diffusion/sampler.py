@@ -173,7 +173,10 @@ def scan_bodies_counted(num_steps: int, unroll: Optional[int] = None) -> int:
     1x body flops, an unroll-``u`` scan contributes ``u`` copies in the main
     while body plus ``num_steps % u`` remainder iterations, and a fully
     unrolled scan contributes all ``num_steps`` (verified empirically on
-    XLA:CPU for (n,u) in {(4,1),(4,2),(4,4),(5,2),(6,4),(4,3)}). Benchmarks
+    XLA:CPU for (n,u) in {(4,1),(4,2),(4,4),(5,2),(6,4),(4,3)}, and on the
+    REAL TPU backend for the same configs plus (50,1) —
+    tools/check_scan_bodies_tpu.py, archived green in
+    results/chip_queue/check_scan_bodies.log; ADVICE r4 #3). Benchmarks
     that scale cost-analysis flops by trip count must divide by this first —
     round-3's 4-step scan MFU was *under*counted rolled, and an unrolled
     default would have *over*counted it 4x (the 1.17 "MFU" in

@@ -45,8 +45,10 @@ class ControlNet(nn.Module):
         timesteps: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, ...]:
-        Res = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
-        ST = nn.remat(SpatialTransformer) if self.use_checkpoint else SpatialTransformer
+        from edtr_tpu.models.layers import remat
+
+        Res = remat(ResBlock) if self.use_checkpoint else ResBlock
+        ST = remat(SpatialTransformer) if self.use_checkpoint else SpatialTransformer
         mc = self.model_channels
 
         t_emb = timestep_embedding(timesteps, mc)

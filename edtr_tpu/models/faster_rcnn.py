@@ -41,24 +41,17 @@ from edtr_tpu.models.resnet import ResNet, IMAGENET_MEAN, IMAGENET_STD
 from edtr_tpu.ops import boxes as box_ops
 from edtr_tpu.ops.roi_align import multiscale_roi_align
 
-# The RPN/box-head NMS vmaps materialize O(N²) IoU/suppression matrices per
-# (image, class/level): the box head alone is (B, C-1, 1000, 1000) fp32 —
-# 80 MB/image. Batches past this bound chunk the per-image map through
-# ``lax.map(batch_size=...)`` (identical semantics, sequential chunks):
-# bs16 under plain vmap crashed the v5e worker (OOM-kill through the
-# tunnel), bs8 is measured safe.
-_NMS_BATCH_CHUNK = 8
+# The RPN/box-head NMS runs per (image, class/level) under plain vmap: the
+# bit-packed suppression build (ops/boxes.py:_packed_keep) keeps N²/32 BITS
+# resident per lane (125 KB at N=1024) instead of the old dense (N, N) fp32
+# matrices (80 MB/img for the box head at C=21), which had OOM-killed the
+# v5e worker at bs16 and forced a sequential lax.map chunk crutch here
+# (removed in round 5; VERDICT r4 next #6).
 
 
 def _map_images(fn, args):
-    """vmap up to the memory-safe batch; chunked lax.map beyond it.
-
-    ``args`` is a tuple of pytrees (the RPN site passes per-FPN-level lists),
-    all batched on the leading axis.
-    """
-    if jax.tree.leaves(args)[0].shape[0] <= _NMS_BATCH_CHUNK:
-        return jax.vmap(fn)(*args)
-    return jax.lax.map(lambda t: fn(*t), args, batch_size=_NMS_BATCH_CHUNK)
+    """Per-image map over a tuple of leading-axis-batched pytrees."""
+    return jax.vmap(fn)(*args)
 
 Dtype = Any
 

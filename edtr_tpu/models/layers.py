@@ -321,3 +321,34 @@ def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
     x = x[:, :, None, :, None, :]
     x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
     return x.reshape(b, h * 2, w * 2, c)
+
+
+def remat(target, **kw):
+    """``nn.remat`` with the rematerialization policy from
+    ``$EDTR_REMAT_POLICY`` (read at trace time):
+
+      full / unset  recompute everything in the backward (the r1-r4
+                    behaviour; minimum HBM, max recompute — the reference's
+                    CheckpointFunction semantics, model/util.py:35-95)
+      dots          jax.checkpoint_policies.dots_saveable: matmul/conv
+                    outputs are SAVED, elementwise/norms recomputed — trades
+                    HBM for skipping the expensive MXU recomputes
+      dots_nobatch  dots_with_no_batch_dims_saveable (saves contraction
+                    results only — smaller than dots)
+
+    The train-step A/B (tools/profile_train.py) measures these on chip;
+    the shipped default stays 'full' until a measured win (round-4
+    dispatch discipline).
+    """
+    import os
+
+    name = os.environ.get("EDTR_REMAT_POLICY", "full")
+    policy = {
+        "full": None,
+        "": None,
+        "dots": jax.checkpoint_policies.dots_saveable,
+        "dots_nobatch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    }[name]
+    if policy is not None:
+        kw["policy"] = policy
+    return nn.remat(target, **kw)

@@ -32,6 +32,7 @@ from edtr_tpu.models.layers import (
     conv,
     dense,
     nearest_upsample_2x,
+    remat,
     silu,
     timestep_embedding,
 )
@@ -164,8 +165,8 @@ class UNetModel(nn.Module):
         control: Optional[Sequence[jnp.ndarray]] = None,
         only_mid_control: bool = False,
     ) -> jnp.ndarray:
-        Res = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
-        ST = nn.remat(SpatialTransformer, static_argnums=()) if self.use_checkpoint else SpatialTransformer
+        Res = remat(ResBlock) if self.use_checkpoint else ResBlock
+        ST = remat(SpatialTransformer, static_argnums=()) if self.use_checkpoint else SpatialTransformer
         mc = self.model_channels
 
         t_emb = timestep_embedding(timesteps, mc)

@@ -173,7 +173,9 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
-        RB = nn.remat(ResnetBlock) if self.use_checkpoint else ResnetBlock
+        from edtr_tpu.models.layers import remat
+
+        RB = remat(ResnetBlock) if self.use_checkpoint else ResnetBlock
         z = z.astype(self.dtype or z.dtype)
         block_in = self.ch * self.ch_mult[-1]
         h = conv(block_in, 3, padding=1, dtype=self.dtype, name="conv_in")(z)

@@ -109,6 +109,79 @@ def decode_boxes(
 # -- NMS ----------------------------------------------------------------------
 
 NMS_CHUNK = 256
+# column-block width for the packed suppression build: one (N, COL_BLOCK)
+# fp32 IoU slab lives at a time instead of the whole (N, N) matrix
+_NMS_COL_BLOCK = 128
+
+
+def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """(..., 32*W) bool -> (..., W) uint32, bit k of word w = column w*32+k."""
+    # weights built inline: caching the array would leak a tracer when the
+    # first call happens under a jit/scan trace
+    weights = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
+    shape = bits.shape[:-1]
+    w = bits.reshape(shape + (-1, 32)).astype(jnp.uint32)
+    return jnp.sum(w * weights, axis=-1, dtype=jnp.uint32)
+
+
+def _fixpoint_keep(sv, sup_apply, n_iter):
+    """Iterate ``keep <- valid & ~suppressed_by_kept(keep)`` to fixpoint.
+
+    The greedy-NMS solution is the unique fixpoint (induction over score
+    order) and convergence takes max-suppression-chain-depth iterations —
+    a handful in practice, vs N sequential steps for scalar greedy.
+    """
+
+    def cond(st):
+        keep, prev, it = st
+        return jnp.logical_and(it < n_iter, jnp.any(keep != prev))
+
+    def body(st):
+        keep, _, it = st
+        return sv & ~sup_apply(keep), keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (sv, jnp.zeros_like(sv), jnp.asarray(0, jnp.int32)))
+    return keep
+
+
+def _packed_keep(sb, sv, iou_threshold):
+    """Fixpoint NMS with a BIT-PACKED suppression matrix (VERDICT r4 #6).
+
+    The dense formulation materializes an (N, N) fp32 IoU + bool sup matrix
+    per (image, class) — 80 MB/img for the box head at N=1000, C=21, which
+    forced serving batches >8 through a sequential ``lax.map`` crutch.
+    Here the IoU is computed in (N, 128)-column slabs under a ``lax.scan``
+    and immediately packed to uint32 words, so the resident state is the
+    (N, N/32) uint32 mask (125 KB at N=1024, a 32x cut) and the largest
+    transient is one fp32 slab. Same greedy fixpoint, bit-exact keep set.
+    """
+    n = sb.shape[0]
+    pad = -n % _NMS_COL_BLOCK
+    m = n + pad
+    if pad:
+        sb = jnp.pad(sb, ((0, pad), (0, 0)))
+        sv = jnp.pad(sv, (0, pad))
+    nw = m // 32
+    rows = jnp.arange(m)
+
+    def col_block(_, j):
+        cols_b = jax.lax.dynamic_slice(sb, (j, 0), (_NMS_COL_BLOCK, 4))
+        cols_v = jax.lax.dynamic_slice(sv, (j,), (_NMS_COL_BLOCK,))
+        iou = box_iou(sb, cols_b)                       # (m, COL_BLOCK) fp32
+        earlier = (j + jnp.arange(_NMS_COL_BLOCK))[None, :] < rows[:, None]
+        bits = (iou > iou_threshold) & earlier & cols_v[None, :]
+        return None, _pack_bits(bits)                   # (m, COL_BLOCK/32)
+
+    _, sup = jax.lax.scan(
+        col_block, None, jnp.arange(0, m, _NMS_COL_BLOCK, dtype=jnp.int32))
+    sup = sup.transpose(1, 0, 2).reshape(m, nw)         # (m, nw) uint32
+
+    def sup_apply(keep):
+        kp = _pack_bits(keep)                           # (nw,) uint32
+        return jnp.any((sup & kp[None, :]) != 0, axis=1)
+
+    return _fixpoint_keep(sv, sup_apply, m)[:n]
 
 
 def nms_mask(
@@ -122,13 +195,16 @@ def nms_mask(
 
     Fixpoint formulation (the TPU-native recipe, cf. TF's TPU
     non_max_suppression): sort by score, build the upper-triangular
-    "j-can-suppress-i" overlap matrix once, then iterate
+    "j-can-suppress-i" overlap structure once, then iterate
     ``keep <- valid & ~any(sup & keep)`` under ``lax.while_loop`` until
-    unchanged. The greedy solution is the unique fixpoint (induction over
-    sorted order), and convergence takes max-suppression-chain-depth
-    iterations (a handful in practice) instead of N sequential steps —
-    measured ~5x over the chunked sequential kernel at N=1000.
-    O(N²) matrix memory; callers keep N bounded per class/level.
+    unchanged — max-suppression-chain-depth iterations (a handful in
+    practice) instead of N sequential steps, measured ~5x over the chunked
+    sequential kernel at N=1000.
+
+    N <= NMS_CHUNK keeps the dense (N, N) bool matrix (cheapest at small N);
+    larger N uses the bit-packed build (:func:`_packed_keep`) whose resident
+    state is N²/32 BITS, so the box head's (B, C-1)-way vmap runs at
+    bs16 without the old per-image ``lax.map`` chunk crutch.
     Returns a boolean keep mask aligned with the (unsorted) inputs.
     """
     n = boxes.shape[0]
@@ -138,21 +214,14 @@ def nms_mask(
     sb = boxes[order]
     sv = valid[order]
 
-    iou = box_iou(sb, sb)
-    earlier = jnp.arange(n)[None, :] < jnp.arange(n)[:, None]  # j before i
-    sup = (iou > iou_threshold) & earlier & sv[None, :]
-
-    def cond(st):
-        keep, prev, it = st
-        return jnp.logical_and(it < n, jnp.any(keep != prev))
-
-    def body(st):
-        keep, _, it = st
-        new = sv & ~jnp.any(sup & keep[None, :], axis=1)
-        return new, keep, it + 1
-
-    keep, _, _ = jax.lax.while_loop(
-        cond, body, (sv, jnp.zeros_like(sv), jnp.asarray(0, jnp.int32)))
+    if n > NMS_CHUNK:
+        keep = _packed_keep(sb, sv, iou_threshold)
+    else:
+        iou = box_iou(sb, sb)
+        earlier = jnp.arange(n)[None, :] < jnp.arange(n)[:, None]
+        sup = (iou > iou_threshold) & earlier & sv[None, :]
+        keep = _fixpoint_keep(
+            sv, lambda k: jnp.any(sup & k[None, :], axis=1), n)
     return jnp.zeros((n,), bool).at[order].set(keep)
 
 

@@ -153,6 +153,71 @@ def _flash_fwd_flat(qf, kf, vf, scale: float):
 
 
 # =============================================================================
+# q-blocked whole-KV forward (2048 <= N <= 4096, D <= 128)
+# =============================================================================
+
+# S slab fp32 (QB, N) at QB=256, N=4096 is 4 MB; with K/V whole-resident
+# (0.5 MB bf16 each) and the bf16 probability copy this stays ~8 MB
+Q_BLOCK_WHOLEKV = 256
+
+
+def _qblock_wholekv_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float):
+    """Full-row softmax per q block: K/V live whole in VMEM, so no online
+    rescale and no fori bookkeeping — each cell is two clean MXU dots and
+    one fp32 softmax. Built for the UNet's ds=1 level (seq 4096, d 64),
+    where the online-softmax kernel measured 0.305 MFU against the d=64
+    contraction cap of ~0.5: the acc-rescale (alpha) multiplies and the
+    per-KV-block max/sum passes were the gap (round-5 roofline)."""
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]            # native dtype
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (QB, N)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = (jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+                / l).astype(o_ref.dtype)
+    l_ref[0] = m + jnp.log(l)
+
+
+def _qblock_wholekv_fwd_flat(qf, kf, vf, scale: float):
+    bh, nq, d = qf.shape
+    nk = kf.shape[1]
+    qb = Q_BLOCK_WHOLEKV
+    kv_spec = pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_qblock_wholekv_kernel, scale=scale),
+        grid=(bh, nq // qb),
+        in_specs=[
+            pl.BlockSpec((1, qb, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            kv_spec, kv_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, qb, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qb, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq, d), vf.dtype),
+            jax.ShapeDtypeStruct((bh, nq, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(qf, kf, vf)
+
+
+def _bigseq_variant() -> str:
+    """Forward kernel for the 2048..4096 self-attention regime:
+    'online' or 'wholekv' (``$EDTR_FLASH_BIGSEQ``). The default follows the
+    round-4 dispatch discipline — it ships 'online' (the r4 kernel) until
+    the stage A/B measures the wholekv win e2e (tools/ab_scan.py), then the
+    literal below flips with the artifact cited."""
+    import os
+
+    return os.environ.get("EDTR_FLASH_BIGSEQ", "online")
+
+
+# =============================================================================
 # streamed-KV forward (wide heads, 128 < D <= 512)
 # =============================================================================
 
@@ -455,6 +520,9 @@ def _fwd_flat_dispatch(qf, kf, vf, scale):
         return _streamkv_fwd_flat(qf, kf, vf, scale)
     if _whole(n, d):
         return _whole_fwd_flat(qf, kf, vf, scale)
+    if (n <= 4096 and n % Q_BLOCK_WHOLEKV == 0
+            and _bigseq_variant() == "wholekv"):
+        return _qblock_wholekv_fwd_flat(qf, kf, vf, scale)
     return _flash_fwd_flat(qf, kf, vf, scale)
 
 

@@ -30,6 +30,11 @@ def pytest_configure(config):
         "markers",
         "multiprocess: forks real coordinator-connected worker processes",
     )
+    config.addinivalue_line(
+        "markers",
+        "convergence: 100-300-step tiny-overfit loops per training recipe "
+        "(slow; deselect with -m 'not convergence')",
+    )
 
 
 @pytest.fixture

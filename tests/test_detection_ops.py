@@ -148,33 +148,45 @@ def test_chunked_nms_equals_naive_greedy():
         np.testing.assert_array_equal(ours, ref, err_msg=f"t={t}")
 
 
-def test_map_images_chunked_matches_vmap():
-    """_map_images must be a drop-in for jax.vmap past the memory chunk.
+def test_packed_nms_equals_dense_at_box_head_scale():
+    """The bit-packed suppression path (N > NMS_CHUNK) must be bit-exact
+    against the dense fixpoint at the real box-head scale (N=1000, padded
+    internally to 1024), including under a class-style vmap.
 
-    The chunked ``lax.map(batch_size=...)`` path only engages at batch >
-    _NMS_BATCH_CHUNK on the real model (bs16 serving); here we force it with
-    a small chunk and check exact equality against vmap, including a
-    non-divisible batch and a pytree (dict) output.
+    VERDICT r4 next #6: this path is what lets bs16 serving run under plain
+    vmap with N²/32 bits resident instead of (N, N) fp32 matrices.
     """
-    import edtr_tpu.models.faster_rcnn as frcnn
+    g = np.random.default_rng(9)
+    n = 1000  # not a multiple of the 128-column block: exercises padding
+    centers = g.random((4, n, 2)) * 400
+    wh = g.random((4, n, 2)) * 80 + 4
+    boxes = np.concatenate([centers, centers + wh], axis=2).astype(np.float32)
+    scores = g.random((4, n)).astype(np.float32)
+    valid = g.random((4, n)) > 0.05
 
-    def fn(x, y):
-        # x is a per-level list, like the RPN's objectness/deltas pytrees
-        return {"a": x[0] * 2.0 + y.sum() + x[1].sum(),
-                "b": (x[0][:1], jnp.argmax(y))}
+    def dense(b, s, v, t):
+        order = jnp.argsort(-jnp.where(v, s, -jnp.inf))
+        sb, sv = b[order], v[order]
+        iou = B.box_iou(sb, sb)
+        earlier = jnp.arange(n)[None, :] < jnp.arange(n)[:, None]
+        sup = (iou > t) & earlier & sv[None, :]
+        keep = B._fixpoint_keep(
+            sv, lambda k: jnp.any(sup & k[None, :], axis=1), n)
+        return jnp.zeros((n,), bool).at[order].set(keep)
 
-    g = np.random.default_rng(3)
-    x = [jnp.asarray(g.random((5, 7)), jnp.float32),
-         jnp.asarray(g.random((5, 2)), jnp.float32)]
-    y = jnp.asarray(g.random((5, 4)), jnp.float32)
+    for t in (0.5, 0.7):
+        want = jax.vmap(lambda b, s, v: dense(b, s, v, t))(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid))
+        got = jax.vmap(lambda b, s, v: B.nms_mask(b, s, t, v))(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"t={t}")
 
-    want = jax.vmap(fn)(x, y)
-    old = frcnn._NMS_BATCH_CHUNK
-    try:
-        frcnn._NMS_BATCH_CHUNK = 2  # force the chunked path, 5 % 2 != 0
-        got = frcnn._map_images(fn, (x, y))
-    finally:
-        frcnn._NMS_BATCH_CHUNK = old
 
-    for w, g_ in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
-        np.testing.assert_allclose(w, g_, rtol=0, atol=0)
+def test_pack_bits_roundtrip():
+    g = np.random.default_rng(1)
+    bits = g.random((3, 128)) > 0.5
+    words = np.asarray(B._pack_bits(jnp.asarray(bits)))
+    assert words.shape == (3, 4) and words.dtype == np.uint32
+    unpacked = (words[..., :, None] >> np.arange(32, dtype=np.uint32)) & 1
+    np.testing.assert_array_equal(unpacked.reshape(3, 128).astype(bool), bits)

@@ -31,6 +31,46 @@ def test_flash_attention_matches_xla_interpret(seq):
     )
 
 
+def test_flash_bigseq_wholekv_matches_online_and_xla(monkeypatch):
+    """The q-blocked whole-KV kernel (the round-5 ds=1 default for
+    2048<=N<=4096) must match the online-softmax kernel and XLA, forward
+    and backward, on the flagship 4096x64 shape."""
+    import functools
+
+    from edtr_tpu.ops.attention import _xla_attention
+    from edtr_tpu.ops import flash_attention as F
+
+    g = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(g, 3)
+    q = jax.random.normal(k1, (1, 4096, 2, 64), jnp.float32)
+    k = jax.random.normal(k2, (1, 4096, 2, 64), jnp.float32)
+    v = jax.random.normal(k3, (1, 4096, 2, 64), jnp.float32)
+    scale = 64 ** -0.5
+
+    def loss(fn, q_, k_, v_):
+        out = fn(q_, k_, v_, scale)
+        w = jnp.sin(jnp.arange(out.size, dtype=jnp.float32)).reshape(out.shape)
+        return (out * w).sum()
+
+    outs, grads = {}, {}
+    for variant in ("wholekv", "online"):
+        monkeypatch.setenv("EDTR_FLASH_BIGSEQ", variant)
+        outs[variant] = F.flash_attention(q, k, v, scale)
+        grads[variant] = jax.grad(
+            functools.partial(loss, F.flash_attention), argnums=(0, 1, 2)
+        )(q, k, v)
+    o_xla = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(outs["wholekv"]),
+                               np.asarray(o_xla), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(outs["wholekv"]),
+                               np.asarray(outs["online"]), rtol=1e-5,
+                               atol=1e-5)
+    for name, a, b in zip(("dq", "dk", "dv"),
+                          grads["wholekv"], grads["online"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
 def test_flash_attention_wide_head_vae_shape():
     # the VAE mid-attention: single head, D=512, 4096 tokens — streamed-KV
     # kernel (KV blocks via the grid; whole-KV residency would double-buffer

@@ -79,6 +79,12 @@ def main():
         REPO, "results", "chip_queue", "ab_e2e.json"))
     ap.add_argument("--stages", default="swinir,vae_encode,scan,decode")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--size", type=int, default=512,
+                    help="input side; 1024 measures the big-image regime "
+                         "the disabled kernel tiers were kept for "
+                         "(VERDICT r4 next #7)")
+    ap.add_argument("--batch", type=int,
+                    default=int(os.environ.get("EDTR_BENCH_BATCH", "8")))
     args = ap.parse_args()
     global OUT
     OUT = args.out
@@ -93,19 +99,20 @@ def main():
     from edtr_tpu.utils.image import wavelet_reconstruction
 
     os.environ.setdefault("EDTR_ENTRY_SIZE", "full")
-    BATCH = int(os.environ.get("EDTR_BENCH_BATCH", "8"))
+    BATCH = args.batch
+    SIZE = args.size
     RESULT["meta"] = {"devices": [str(d) for d in jax.devices()],
-                      "batch": BATCH, "iters": args.iters,
+                      "batch": BATCH, "size": SIZE, "iters": args.iters,
                       "timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
 
     pipe = G._flagship_pipeline(dtype=jnp.bfloat16, tiny=False)
-    params = G._init_params(pipe, jax.random.PRNGKey(0), 512)
+    params = G._init_params(pipe, jax.random.PRNGKey(0), SIZE)
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         params)
     c_txt = jnp.zeros((BATCH, pipe.cldm.clip.context_length,
                        pipe.cldm.clip.width), jnp.float32)
-    lq = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 512, 512, 3))
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, SIZE, SIZE, 3))
     rng = jax.random.PRNGKey(231)
 
     # stage inputs (computed once on the table config)

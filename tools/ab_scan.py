@@ -87,16 +87,23 @@ def main():
         return sample_scan(pipe.cldm.model_fn(p), pipe.schedule, z_T,
                            cond, k2, unroll=unroll)
 
+    # round 5: the bigseq (2048..4096) forward variant joins the grid —
+    # 'wholekv' (q-blocked full-row softmax, the new default) vs 'online'
+    # (the r4 online-softmax kernel) vs pure XLA. unroll4 variants measured
+    # NEGATIVE in r4 (ab_scan.json: -7%) and are dropped from the default
+    # grid; EDTR_AB_SCAN_UNROLL4=1 restores them.
     grid = {
-        "flash_rolled": ("auto", 1),     # shipped defaults
-        "xla_rolled": ("xla", 1),
-        "flash_unroll4": ("auto", 4),
-        "xla_unroll4": ("xla", 4),
+        "flash_wholekv_rolled": ("auto", 1, "wholekv"),
+        "flash_online_rolled": ("auto", 1, "online"),
+        "xla_rolled": ("xla", 1, "wholekv"),
     }
+    if os.environ.get("EDTR_AB_SCAN_UNROLL4") == "1":
+        grid["flash_wholekv_unroll4"] = ("auto", 4, "wholekv")
     ref = None
-    for name, (backend, unroll) in grid.items():
+    for name, (backend, unroll, bigseq) in grid.items():
         try:
             set_attention_backend(backend)
+            os.environ["EDTR_FLASH_BIGSEQ"] = bigseq
             t0 = time.time()
             ex = jax.jit(
                 lambda p, zp, key: stage_scan(p, zp, key, unroll)
@@ -121,9 +128,10 @@ def main():
             print(f"scan [{name}]: FAILED {type(e).__name__}: {e}", flush=True)
         finally:
             set_attention_backend("auto")
+            os.environ.pop("EDTR_FLASH_BIGSEQ", None)
         flush()
 
-    base = RESULT["configs"].get("flash_rolled", {}).get("ms_per_img")
+    base = RESULT["configs"].get("flash_wholekv_rolled", {}).get("ms_per_img")
     if base:
         RESULT["summary"] = {
             n: {"vs_default": round(base / v["ms_per_img"], 3)}
