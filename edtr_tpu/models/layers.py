@@ -234,9 +234,16 @@ class DenseParams(nn.Module):
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm in fp32 (torch nn.LayerNorm semantics, eps=1e-5)."""
+    """LayerNorm in fp32 (torch nn.LayerNorm semantics, eps=1e-5).
+
+    ``stat_dim`` > 0 computes the statistics with divisor ``stat_dim``
+    instead of the channel count — the lane-padding contract (SwinIR
+    180->192): trailing channels are guaranteed-zero, so raw sums are
+    unchanged and only the divisor differs (see ops/_norms.py:ln_f32).
+    """
 
     epsilon: float = 1e-5
+    stat_dim: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -244,6 +251,13 @@ class LayerNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.stat_dim and self.stat_dim != c:
+            xf = x.astype(jnp.float32)
+            n = float(self.stat_dim)
+            mean = jnp.sum(xf, axis=-1, keepdims=True) / n
+            var = jnp.sum(xf * xf, axis=-1, keepdims=True) / n - mean * mean
+            y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+            return (y * scale + bias).astype(orig_dtype)
         # consumers fuse their own f32 upcast (see GroupNorm32 note)
         mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
         var = jnp.mean(jnp.square(x.astype(jnp.float32) - mean),

@@ -130,6 +130,10 @@ class WindowAttention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     dtype: Optional[Dtype] = None
+    # lane padding (dim 180->192): the softmax scale must stay the REAL
+    # head dim's (30**-0.5) — padded q/k dims are zero and add nothing to
+    # the logits, but the scale is a constant of the trained model
+    scale_dim: int = 0
 
     @nn.compact
     def __call__(
@@ -137,6 +141,7 @@ class WindowAttention(nn.Module):
     ) -> jnp.ndarray:
         bw, n, c = x.shape
         d_head = self.dim // self.num_heads
+        d_scale = (self.scale_dim or self.dim) // self.num_heads
         qkv = dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(bw, n, 3, self.num_heads, d_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -156,7 +161,7 @@ class WindowAttention(nn.Module):
         out = window_attention(
             q, k, v, bias,
             mask=None if mask is None else jnp.asarray(mask),
-            scale=d_head ** -0.5)
+            scale=d_scale ** -0.5)
         out = out.reshape(bw, n, c)
         return dense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -227,6 +232,10 @@ class SwinTransformerBlock(nn.Module):
     mlp_ratio: float = 2.0
     dtype: Optional[Dtype] = None
     fused: bool = True
+    # lane padding: real channel count for LN statistics + softmax scale
+    # (0 = dim is real). Padded channels are guaranteed-zero by the
+    # pad_swinir_lanes converter contract (utils/convert.py).
+    ln_dim: int = 0
 
     @nn.compact
     def __call__(
@@ -248,9 +257,10 @@ class SwinTransformerBlock(nn.Module):
             xc = x.astype(self.dtype or x.dtype)
             qkv_w, xr = swin_block.swin_pre(
                 xc, ln1_s, ln1_b, qkv_k, qkv_b, h, w, self.win,
-                shift - in_offset)
+                shift - in_offset, self.ln_dim)
             nw = qkv_w.shape[1]
             d_head = self.dim // self.num_heads
+            d_scale = (self.ln_dim or self.dim) // self.num_heads
             qkv = qkv_w.reshape(b * nw, self.win * self.win, 3,
                                 self.num_heads, d_head)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -259,21 +269,21 @@ class SwinTransformerBlock(nn.Module):
             out = window_attention(
                 q, k, v, bias,
                 mask=None if mask is None else jnp.asarray(mask),
-                scale=d_head ** -0.5)
+                scale=d_scale ** -0.5)
             attn = out.reshape(b, nw, self.win * self.win, c)
             return swin_block.swin_post(
                 attn, xr, proj_k, proj_b, ln2_s, ln2_b,
-                fc1_k, fc1_b, fc2_k, fc2_b, h, w, self.win)
+                fc1_k, fc1_b, fc2_k, fc2_b, h, w, self.win, self.ln_dim)
 
         shortcut = x
-        x = LayerNorm(name="norm1")(x).reshape(b, h, w, c)
+        x = LayerNorm(name="norm1", stat_dim=self.ln_dim)(x).reshape(b, h, w, c)
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
         windows = window_partition(x, self.win)
         mask = shift_attention_mask(h, w, self.win, shift)
         attn = WindowAttention(
             dim=self.dim, win=self.win, num_heads=self.num_heads,
-            dtype=self.dtype, name="attn",
+            dtype=self.dtype, scale_dim=self.ln_dim, name="attn",
         )(windows, mask)
         x = window_reverse(attn, self.win, h, w)
         if shift > 0:
@@ -282,7 +292,7 @@ class SwinTransformerBlock(nn.Module):
         x = x + Mlp(
             hidden=int(self.dim * self.mlp_ratio), out=self.dim,
             dtype=self.dtype, name="mlp",
-        )(LayerNorm(name="norm2")(x))
+        )(LayerNorm(name="norm2", stat_dim=self.ln_dim)(x))
         return x
 
 
@@ -296,6 +306,7 @@ class RSTB(nn.Module):
     mlp_ratio: float = 2.0
     dtype: Optional[Dtype] = None
     fused: bool = True
+    ln_dim: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, x_size: Tuple[int, int]) -> jnp.ndarray:
@@ -309,7 +320,7 @@ class RSTB(nn.Module):
                 dim=self.dim, num_heads=self.num_heads, win=self.win,
                 shift=0 if j % 2 == 0 else self.win // 2,
                 mlp_ratio=self.mlp_ratio, dtype=self.dtype,
-                fused=use_fused, name=f"blocks_{j}",
+                fused=use_fused, ln_dim=self.ln_dim, name=f"blocks_{j}",
             )(x, x_size, in_offset=off)
             if use_fused:
                 off = ((self.win // 2 if j % 2 else 0)
@@ -341,6 +352,14 @@ class SwinIR(nn.Module):
     unshuffle_scale: Optional[int] = None
     dtype: Optional[Dtype] = None
     fused: bool = True  # Pallas-fused swin blocks (ops/swin_block.py)
+    # MXU/VPU lane alignment (round 5, VERDICT r4 #2): pad the embed dim by
+    # ``lane_pad`` channels (180 -> 192 = 1.5x128 lanes; head dim 30 -> 32)
+    # with GUARANTEED-ZERO padded weights — outputs are bit-equal to the
+    # unpadded net (LN stats keep the real divisor, softmax scale keeps the
+    # real head dim, zeros propagate through every GEMM/GELU). Params MUST
+    # come from utils/convert.py:pad_swinir_lanes — random init of a padded
+    # module is NOT the same function as the unpadded one.
+    lane_pad: int = 0
     # accepted-but-unused reference knobs (parity of constructor surface)
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
@@ -358,6 +377,8 @@ class SwinIR(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         assert self.resi_connection == "1conv", "only '1conv' is used by configs"
+        P = self.embed_dim + self.lane_pad       # padded (physical) width
+        ln_dim = self.embed_dim if self.lane_pad else 0
         H, W = x.shape[1], x.shape[2]
 
         # check_image_size: reflect-pad to window multiple (model/swinir.py:834-839)
@@ -374,9 +395,9 @@ class SwinIR(nn.Module):
         # shallow feature extraction
         if self.unshuffle:
             feat = pixel_unshuffle(x, self.sf)
-            feat = conv(self.embed_dim, 3, padding=1, dtype=self.dtype, name="conv_first_1")(feat)
+            feat = conv(P, 3, padding=1, dtype=self.dtype, name="conv_first_1")(feat)
         else:
-            feat = conv(self.embed_dim, 3, padding=1, dtype=self.dtype, name="conv_first")(x)
+            feat = conv(P, 3, padding=1, dtype=self.dtype, name="conv_first")(x)
 
         b, h, w, c = feat.shape
         x_size = (h, w)
@@ -384,16 +405,17 @@ class SwinIR(nn.Module):
         # deep features: tokens (B, L, C)
         t = feat.reshape(b, h * w, c)
         if self.patch_norm:
-            t = LayerNorm(name="patch_embed_norm")(t)
+            t = LayerNorm(name="patch_embed_norm", stat_dim=ln_dim)(t)
         for i, depth in enumerate(self.depths):
             t = RSTB(
-                dim=self.embed_dim, depth=depth, num_heads=self.num_heads[i],
+                dim=P, depth=depth, num_heads=self.num_heads[i],
                 win=self.window_size, mlp_ratio=self.mlp_ratio,
-                dtype=self.dtype, fused=self.fused, name=f"layers_{i}",
+                dtype=self.dtype, fused=self.fused, ln_dim=ln_dim,
+                name=f"layers_{i}",
             )(t, x_size)
-        t = LayerNorm(name="norm")(t)
+        t = LayerNorm(name="norm", stat_dim=ln_dim)(t)
         deep = t.reshape(b, h, w, c)
-        deep = conv(self.embed_dim, 3, padding=1, dtype=self.dtype, name="conv_after_body")(deep)
+        deep = conv(P, 3, padding=1, dtype=self.dtype, name="conv_after_body")(deep)
         feat = feat + deep
 
         lrelu = lambda v: jax.nn.leaky_relu(v, negative_slope=0.2)

@@ -105,7 +105,7 @@ def _roll2d(x: jnp.ndarray, d: int, h: int, w: int) -> jnp.ndarray:
 
 def _pre_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                 qkv_ref, xr_ref, xln_s, xraw_s,
-                *, h, w, win, d, eps):
+                *, h, w, win, d, eps, stat_dim):
     wy = pl.program_id(1)
     rows = win * w  # tokens per window-row slab
 
@@ -113,7 +113,7 @@ def _pre_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     def _prep():  # once per image: LN + roll into persistent scratch
         x = x_ref[0]
         xln_s[...] = _roll2d(
-            _layernorm_f32(x, lns_ref[...], lnb_ref[...], eps)
+            _layernorm_f32(x, lns_ref[...], lnb_ref[...], eps, stat_dim)
             .astype(xln_s.dtype), d, h, w)
         xraw_s[...] = _roll2d(x, d, h, w)
 
@@ -127,11 +127,11 @@ def _pre_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     xr_ref[0] = xraw_s[pl.ds(wy * rows, rows), :]
 
 
-def _pre_ref(x, ln_s, ln_b, wqkv, bqkv, h, w, win, d):
+def _pre_ref(x, ln_s, ln_b, wqkv, bqkv, h, w, win, d, stat_dim=0):
     """XLA reference: same math/cast points as the kernel."""
     b, l, c = x.shape
     cdtype = x.dtype
-    xln = _layernorm_f32(x, ln_s, ln_b, 1e-5).astype(cdtype)
+    xln = _layernorm_f32(x, ln_s, ln_b, 1e-5, stat_dim).astype(cdtype)
     xr = jax.vmap(lambda t: _roll2d(t, d, h, w))(x)
     xln = jax.vmap(lambda t: _roll2d(t, d, h, w))(xln)
     qkv = jnp.dot(xln, wqkv.astype(cdtype),
@@ -143,8 +143,8 @@ def _pre_ref(x, ln_s, ln_b, wqkv, bqkv, h, w, win, d):
     return qkv.reshape(b, nwh * nww, win * win, qkv.shape[-1]), xr
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def swin_pre(x, ln_s, ln_b, wqkv, bqkv, h, w, win, d):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def swin_pre(x, ln_s, ln_b, wqkv, bqkv, h, w, win, d, stat_dim=0):
     """LN1 + roll(-d) + qkv + window partition.
 
     Args:
@@ -158,13 +158,14 @@ def swin_pre(x, ln_s, ln_b, wqkv, bqkv, h, w, win, d):
     """
     b, l, c = x.shape
     if not _use_kernel():
-        return _pre_ref(x, ln_s, ln_b, wqkv, bqkv, h, w, win, d)
+        return _pre_ref(x, ln_s, ln_b, wqkv, bqkv, h, w, win, d, stat_dim)
     cdtype = x.dtype
     nww, nwh = w // win, h // win
     rows = win * w
     grid = (b, nwh)
     qkv_w, xr = pl.pallas_call(
-        functools.partial(_pre_kernel, h=h, w=w, win=win, d=d, eps=1e-5),
+        functools.partial(_pre_kernel, h=h, w=w, win=win, d=d, eps=1e-5,
+                          stat_dim=stat_dim),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, l, c), lambda i, j: (i, 0, 0),
@@ -203,13 +204,13 @@ def swin_pre(x, ln_s, ln_b, wqkv, bqkv, h, w, win, d):
     return qkv_w.reshape(b, nwh * nww, win * win, 3 * c), xr
 
 
-def _pre_fwd(x, ln_s, ln_b, wqkv, bqkv, h, w, win, d):
-    return swin_pre(x, ln_s, ln_b, wqkv, bqkv, h, w, win, d), (
+def _pre_fwd(x, ln_s, ln_b, wqkv, bqkv, h, w, win, d, stat_dim):
+    return swin_pre(x, ln_s, ln_b, wqkv, bqkv, h, w, win, d, stat_dim), (
         x, ln_s, ln_b, wqkv, bqkv)
 
 
-def _pre_bwd(h, w, win, d, res, g):
-    _, vjp = jax.vjp(lambda *a: _pre_ref(*a, h, w, win, d), *res)
+def _pre_bwd(h, w, win, d, stat_dim, res, g):
+    _, vjp = jax.vjp(lambda *a: _pre_ref(*a, h, w, win, d, stat_dim), *res)
     return vjp(g)
 
 
@@ -222,7 +223,7 @@ swin_pre.defvjp(_pre_fwd, _pre_bwd)
 
 
 def _post_body(a_slab, xr_slab, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2,
-               *, win, w, eps):
+               *, win, w, eps, stat_dim=0):
     """Shared per-slab math (kernel body and reference)."""
     c = xr_slab.shape[-1]
     nww = w // win
@@ -232,7 +233,7 @@ def _post_body(a_slab, xr_slab, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2,
     proj = jnp.dot(a, wproj, preferred_element_type=jnp.float32)
     proj = proj + bproj.astype(jnp.float32)
     x1 = xr_slab + proj.astype(cdtype)
-    xln = _layernorm_f32(x1, ln2s, ln2b, eps).astype(cdtype)
+    xln = _layernorm_f32(x1, ln2s, ln2b, eps, stat_dim).astype(cdtype)
     h1 = jnp.dot(xln, w1, preferred_element_type=jnp.float32)
     h1 = h1 + b1.astype(jnp.float32)
     # exact erf-GELU via the fp32 polynomial (Mosaic has no erf lowering;
@@ -246,14 +247,16 @@ def _post_body(a_slab, xr_slab, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2,
 
 
 def _post_kernel(a_ref, xr_ref, wproj_ref, bproj_ref, ln2s_ref, ln2b_ref,
-                 w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, win, w, eps):
+                 w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, win, w, eps,
+                 stat_dim):
     o_ref[0] = _post_body(
         a_ref[0], xr_ref[0], wproj_ref[...], bproj_ref[...],
         ln2s_ref[...], ln2b_ref[...], w1_ref[...], b1_ref[...],
-        w2_ref[...], b2_ref[...], win=win, w=w, eps=eps)
+        w2_ref[...], b2_ref[...], win=win, w=w, eps=eps, stat_dim=stat_dim)
 
 
-def _post_ref(attn, xr, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2, h, w, win):
+def _post_ref(attn, xr, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2, h, w, win,
+              stat_dim=0):
     b = xr.shape[0]
     cdtype = xr.dtype
     nwh = h // win
@@ -264,13 +267,14 @@ def _post_ref(attn, xr, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2, h, w, win):
         lambda aa, xx: _post_body(
             aa, xx, wproj.astype(cdtype), bproj, ln2s, ln2b,
             w1.astype(cdtype), b1, w2.astype(cdtype), b2,
-            win=win, w=w, eps=1e-5)
+            win=win, w=w, eps=1e-5, stat_dim=stat_dim)
     )(a, xr2)
     return out.reshape(b, h * w, xr.shape[-1])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
-def swin_post(attn, xr, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2, h, w, win):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+def swin_post(attn, xr, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2, h, w, win,
+              stat_dim=0):
     """Window reverse + proj + residual + LN2 + MLP + residual (rolled space).
 
     Args:
@@ -283,14 +287,15 @@ def swin_post(attn, xr, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2, h, w, win):
     b, l, c = xr.shape
     if not _use_kernel():
         return _post_ref(attn, xr, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2,
-                         h, w, win)
+                         h, w, win, stat_dim)
     cdtype = xr.dtype
     nww, nwh = w // win, h // win
     rows = win * w
     hidden = w1.shape[-1]
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_post_kernel, win=win, w=w, eps=1e-5),
+        functools.partial(_post_kernel, win=win, w=w, eps=1e-5,
+                          stat_dim=stat_dim),
         grid=(b, nwh),
         in_specs=[
             pl.BlockSpec((1, nww, win * win, c),
@@ -317,14 +322,15 @@ def swin_post(attn, xr, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2, h, w, win):
     return out
 
 
-def _post_fwd(attn, xr, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2, h, w, win):
+def _post_fwd(attn, xr, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2, h, w, win,
+              stat_dim):
     return swin_post(attn, xr, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2,
-                     h, w, win), (attn, xr, wproj, bproj, ln2s, ln2b,
-                                  w1, b1, w2, b2)
+                     h, w, win, stat_dim), (attn, xr, wproj, bproj, ln2s,
+                                            ln2b, w1, b1, w2, b2)
 
 
-def _post_bwd(h, w, win, res, g):
-    _, vjp = jax.vjp(lambda *a: _post_ref(*a, h, w, win), *res)
+def _post_bwd(h, w, win, stat_dim, res, g):
+    _, vjp = jax.vjp(lambda *a: _post_ref(*a, h, w, win, stat_dim), *res)
     return vjp(g)
 
 

@@ -972,3 +972,112 @@ def _sel_perm(n: int, sa: int = 4) -> np.ndarray:
     c = n // (sa * sa)
     m = np.arange(n)
     return (m % c) * sa * sa + m // c
+
+
+# ---------------------------------------------------------------------------
+# SwinIR lane padding (round 5; VERDICT r4 next #2)
+# ---------------------------------------------------------------------------
+
+def pad_swinir_lanes(params: Params, lane_pad: int = 12,
+                     heads: int = 6) -> Params:
+    """Zero-pad a converted SwinIR param tree from ``embed_dim`` to
+    ``embed_dim + lane_pad`` channels (flagship: 180 -> 192 = 1.5x128
+    lanes, head dim 30 -> 32).
+
+    Exactness contract (models/swinir.py ``lane_pad`` field): every padded
+    weight/bias/LN-affine entry is ZERO, so padded activation channels are
+    zero everywhere, raw channel sums are unchanged, and the padded net
+    computes the identical function (LN divisors and the softmax scale keep
+    the real dims inside the module). The residual stream pads at the END
+    of the channel axis; attention q/k/v and the proj INPUT pad PER HEAD
+    (channel h*d+j -> h*d_new+j).
+
+    Works on any converted/init'd tree of the SwinIR module (torch
+    checkpoints via :func:`convert_swinir` first).
+    """
+    import jax
+
+    p = jax.tree.map(np.asarray, params)
+    c = p["conv_after_body"]["kernel"].shape[-1]
+    cp = c + lane_pad
+    d_old, d_new = c // heads, cp // heads
+    assert heads * d_old == c and heads * d_new == cp, (c, cp, heads)
+
+    def pad_to(a, axis, n):
+        w = [(0, 0)] * a.ndim
+        w[axis] = (0, n - a.shape[axis])
+        return np.pad(a, w)
+
+    def pad_heads(a, axis, segs):
+        shp = list(a.shape)
+        shp[axis:axis + 1] = [segs, heads, d_old]
+        a = a.reshape(shp)
+        w = [(0, 0)] * a.ndim
+        w[axis + 2] = (0, d_new - d_old)
+        a = np.pad(a, w)
+        shp2 = list(a.shape)
+        shp2[axis:axis + 3] = [segs * heads * d_new]
+        return a.reshape(shp2)
+
+    def pad_ln(node):
+        return {k: pad_to(v, 0, cp) for k, v in node.items()}
+
+    out: Params = {}
+    for key, node in p.items():
+        if key in ("patch_embed_norm", "norm"):
+            out[key] = pad_ln(node)
+        elif key in ("conv_first", "conv_first_1"):
+            out[key] = {"kernel": pad_to(node["kernel"], 3, cp),
+                        "bias": pad_to(node["bias"], 0, cp)}
+        elif key == "conv_after_body":
+            out[key] = {"kernel": pad_to(pad_to(node["kernel"], 2, cp), 3, cp),
+                        "bias": pad_to(node["bias"], 0, cp)}
+        elif key == "conv_before_upsample_0":
+            out[key] = {"kernel": pad_to(node["kernel"], 2, cp),
+                        "bias": node["bias"]}
+        elif key.startswith("layers_"):
+            layer: Params = {}
+            for bkey, bnode in node.items():
+                if bkey == "conv":
+                    layer[bkey] = {
+                        "kernel": pad_to(pad_to(bnode["kernel"], 2, cp), 3, cp),
+                        "bias": pad_to(bnode["bias"], 0, cp)}
+                    continue
+                blk: Params = {}
+                for name, sub in bnode.items():
+                    if name in ("norm1", "norm2"):
+                        blk[name] = pad_ln(sub)
+                    elif name == "attn":
+                        hidden = None
+                        qkv = {"kernel": pad_heads(
+                            pad_to(sub["qkv"]["kernel"], 0, cp), 1, 3)}
+                        if "bias" in sub["qkv"]:
+                            qkv["bias"] = pad_heads(sub["qkv"]["bias"], 0, 3)
+                        blk[name] = {
+                            "qkv": qkv,
+                            "proj": {
+                                "kernel": pad_to(
+                                    pad_heads(sub["proj"]["kernel"], 0, 1),
+                                    1, cp),
+                                "bias": pad_to(sub["proj"]["bias"], 0, cp)},
+                            "relative_position_bias_table":
+                                sub["relative_position_bias_table"],
+                        }
+                    elif name == "mlp":
+                        h_old = sub["fc1"]["kernel"].shape[1]
+                        h_new = h_old + lane_pad * (h_old // c)
+                        blk[name] = {
+                            "fc1": {"kernel": pad_to(pad_to(
+                                sub["fc1"]["kernel"], 0, cp), 1, h_new),
+                                "bias": pad_to(sub["fc1"]["bias"], 0, h_new)},
+                            "fc2": {"kernel": pad_to(pad_to(
+                                sub["fc2"]["kernel"], 0, h_new), 1, cp),
+                                "bias": pad_to(sub["fc2"]["bias"], 0, cp)},
+                        }
+                    else:
+                        blk[name] = sub
+                layer[bkey] = blk
+            out[key] = layer
+        else:
+            out[key] = node
+    return out

@@ -7,6 +7,7 @@ dims, plus a shifted-window case that exercises the attention mask.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from edtr_tpu.models.swinir import SwinIR, pixel_unshuffle, window_partition, window_reverse
@@ -85,3 +86,36 @@ def test_window_partition_roundtrip():
     assert w.shape == (2 * 2 * 3, 16, 5)
     back = window_reverse(w, 4, 8, 12)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_lane_padded_swinir_is_exact(torch_swinir):
+    """lane_pad (VERDICT r4 #2: 180->192 MXU alignment at convert time) must
+    be a pure relayout: the padded module on pad_swinir_lanes params equals
+    the unpadded module bit-for-bit-closely AND the torch oracle.
+
+    TINY dims: embed 24, 3 heads (d 8) padded by 6 -> 30 (d 10) — exercises
+    the per-head qkv/proj remap, masked LN stats and the kept softmax scale.
+    """
+    import torch
+
+    g = np.random.default_rng(4)
+    x = g.random((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = torch_swinir(torch.from_numpy(x)).numpy()
+
+    sd = C.torch_state_dict_to_numpy(torch_swinir.state_dict())
+    params = C.convert_swinir(sd, depths=(2, 2), unshuffle=True, sf=8)
+    cfg = {**TINY, "depths": tuple(TINY["depths"]),
+           "num_heads": tuple(TINY["num_heads"])}
+    base = SwinIR(**cfg).apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+
+    padded_params = C.pad_swinir_lanes(params, lane_pad=6, heads=3)
+    padded = SwinIR(**cfg, lane_pad=6).apply(
+        {"params": jax.tree.map(jnp.asarray, padded_params)},
+        jnp.asarray(x.transpose(0, 2, 3, 1)))
+
+    np.testing.assert_allclose(np.asarray(padded), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(padded).transpose(0, 3, 1, 2), ref, rtol=5e-3, atol=5e-3)

@@ -75,11 +75,13 @@ def main():
 
     x_img = jax.random.uniform(key, (BATCH, 512, 512, 3))
     whole = {}
-    for name, depths in [("d48", (6,) * 8), ("d24", (6,) * 4)]:
+    for name, depths, pad in [("d48", (6,) * 8, 0), ("d24", (6,) * 4, 0),
+                              ("d48_pad192", (6,) * 8, 12)]:
         net = SwinIR(img_size=64, embed_dim=180, depths=depths,
                      num_heads=(6,) * len(depths), window_size=8,
                      mlp_ratio=2.0, sf=8, upsampler="nearest+conv",
-                     unshuffle=True, unshuffle_scale=8, dtype=jnp.bfloat16)
+                     unshuffle=True, unshuffle_scale=8, dtype=jnp.bfloat16,
+                     lane_pad=pad)
         params = jax.jit(net.init)(jax.random.PRNGKey(1), x_img[:1])
         params = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16)
