@@ -44,14 +44,25 @@ from edtr_tpu.ops.roi_align import multiscale_roi_align
 # The RPN/box-head NMS runs per (image, class/level) under plain vmap: the
 # bit-packed suppression build (ops/boxes.py:_packed_keep) keeps N²/32 BITS
 # resident per lane (125 KB at N=1024) instead of the old dense (N, N) fp32
-# matrices (80 MB/img for the box head at C=21), which had OOM-killed the
-# v5e worker at bs16 and forced a sequential lax.map chunk crutch here
-# (removed in round 5; VERDICT r4 next #6).
+# matrices (80 MB/img for the box head at C=21).
+#
+# bs16 note (round-5 bisect, results/chip_queue/verify_nms_bs16.log +
+# tools/debug_nms_chip.py): a single bs16 detect executable faults the v5e
+# device with BOTH NMS designs, while the packed graph's compiled footprint
+# is only ~2 GB (memory_analysis: temp 1.0 GB at bs8) and the packed NMS
+# alone runs clean under a (16, 20)-way vmap — so r4's "OOM" diagnosis was
+# wrong and the fault is a bs16-only backend issue in the surrounding
+# graph, not an NMS memory wall. Batches >8 therefore still chunk through
+# ``lax.map`` — as a DEVICE-FAULT guard (the fault wedges the chip for
+# ~an hour through the tunnel), not a memory crutch.
+_DETECT_BATCH_CHUNK = 8
 
 
 def _map_images(fn, args):
     """Per-image map over a tuple of leading-axis-batched pytrees."""
-    return jax.vmap(fn)(*args)
+    if jax.tree.leaves(args)[0].shape[0] <= _DETECT_BATCH_CHUNK:
+        return jax.vmap(fn)(*args)
+    return jax.lax.map(lambda t: fn(*t), args, batch_size=_DETECT_BATCH_CHUNK)
 
 Dtype = Any
 
