@@ -55,6 +55,7 @@ def main():
         "min512": dict(min_size=512, max_size=512),
         "props100": dict(rpn_post_nms_top_n_test=100),
         "cls2": dict(num_classes=2),
+        "cap200": dict(box_pre_nms_top_n=200),  # per-class candidate cap
         "pre16": dict(rpn_pre_nms_top_n_test=16),
     }
 
