@@ -36,6 +36,14 @@ STEPS = int(os.environ.get("EDTR_CURVE_STEPS", "100"))
 BATCH = int(os.environ.get("EDTR_CURVE_BATCH", "16"))
 ACCUM = int(os.environ.get("EDTR_CURVE_ACCUM", "8"))
 SIZE = int(os.environ.get("EDTR_CURVE_SIZE", "512"))
+# loss weights (reference defaults). The 100-step full-recipe run showed
+# loss_det descending 4.08 -> 0.53 while loss_hlf ROSE: the det half's
+# gradient flows into the restore path by design (task-driven restoration,
+# main/det/train_edtr.py:203-241), and with this tool's SYNTHETIC random
+# boxes "detection-friendly" pulls the image away from gt. W_DET=0 W_FM=0
+# isolates the stationary frozen-teacher HLF objective at real shape.
+W_DET = float(os.environ.get("EDTR_CURVE_W_DET", "1.0"))
+W_FM = float(os.environ.get("EDTR_CURVE_W_FM", "0.2"))
 
 
 def main():
@@ -68,7 +76,7 @@ def main():
 
     state = EDTRTrainState.create(pipe, params, train_steps=STEPS)
     step = make_edtr_train_step(pipe, detnet=detnet, accum_steps=ACCUM,
-                                jit=False)
+                                weight_det=W_DET, weight_fm=W_FM, jit=False)
 
     g = 8
     gt = jax.random.uniform(jax.random.PRNGKey(2), (BATCH, SIZE, SIZE, 3))
@@ -117,6 +125,7 @@ def main():
     print(json.dumps({
         "metric": "flagship 512^2 train loss curves",
         "steps": STEPS, "global_batch": BATCH, "accum": ACCUM,
+        "weight_det": W_DET, "weight_fm": W_FM,
         "compile_s": round(t_compile, 1),
         "s_per_step": round(wall / STEPS, 3),
         "img_per_s_per_chip": round(BATCH * STEPS / wall, 3),
