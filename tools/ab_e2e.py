@@ -115,8 +115,10 @@ def main():
     lq = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, SIZE, SIZE, 3))
     rng = jax.random.PRNGKey(231)
 
-    # stage inputs (computed once on the table config)
-    set_env({})
+    # stage inputs (computed once, all families OFF: the pure-XLA path must
+    # work at ANY size — a fused-kernel compile failure at an exotic size
+    # must fail that VARIANT, not the harness setup; r5 ab_e2e_1024 lesson)
+    set_env({f: "0" for f in FAMS})
     pre = jax.jit(lambda p, x: pipe.pre_restore(p, x)).lower(
         params, lq).compile()(params, lq)
     z_pre = jax.jit(lambda p, x: pipe.cldm.vae_encode(
@@ -142,7 +144,7 @@ def main():
     def get_z():
         nonlocal z
         if z is None:
-            set_env({})
+            set_env({f: "0" for f in FAMS})
             z = jax.jit(stage_scan).lower(params, z_pre, rng).compile()(
                 params, z_pre, rng)
         return z
