@@ -150,23 +150,25 @@ _BUILTIN: Dict[str, Dict[str, bool]] = {
         "64x64x640->640": False,
         "32x32x1280->1280": False,
     },
-    # The one family that wins its stage e2e: fused swinir 10.10 vs legacy
-    # 10.16 ms/img at the flagship 64x64x180 (and a cleaner compile).
+    # r4 shipped this ON off a 0.5% win at 10 iters (10.10 vs 10.16
+    # ms/img). The round-5 variance re-check at 50 iters reversed it:
+    # table (swin on) 10.20 vs off 9.65 ms/img — a 5.4% LOSS outside the
+    # noise floor (ab_e2e_swinir_i50.json, VERDICT r4 weak #6) -> off.
     "swin_block": {
-        "64x64x180": True,
+        "64x64x180": False,
     },
 }
 
 # conservative fallback for shapes the table has never measured: off for
-# every family whose measured shapes failed the e2e gate; swin_block stays
-# rule-on (its family holds the win e2e and shapes are compile-gated).
+# every family whose measured shapes failed the e2e gate (swin_block
+# joined them in round 5 — the 50-iter re-measurement flipped its sign).
 _RULES = {
     "geglu": lambda n, c, inner: False,
     "ln_matmul": lambda n, c, o, k: False,
     "affine_matmul": lambda n, c, o: False,
     "gn_conv": lambda h, w, cin, cout: False,
     "ups_conv": lambda h2, w2, cin, cout: False,
-    "swin_block": lambda h, w, c: True,
+    "swin_block": lambda h, w, c: False,
 }
 
 _MULTICHIP = False

@@ -208,13 +208,14 @@ def _qblock_wholekv_fwd_flat(qf, kf, vf, scale: float):
 
 def _bigseq_variant() -> str:
     """Forward kernel for the 2048..4096 self-attention regime:
-    'online' or 'wholekv' (``$EDTR_FLASH_BIGSEQ``). The default follows the
-    round-4 dispatch discipline — it ships 'online' (the r4 kernel) until
-    the stage A/B measures the wholekv win e2e (tools/ab_scan.py), then the
-    literal below flips with the artifact cited."""
+    'online' or 'wholekv' (``$EDTR_FLASH_BIGSEQ``). Default 'wholekv' per
+    the round-4 two-measurement protocol: it wins standalone at the seq-4096
+    flagship core (2.70 vs 2.92 ms, roofline_scan.json attn_core) AND e2e on
+    the full scan stage (37.13 vs 37.63 ms/img at 20 iters, bit-identical
+    outputs — results/chip_queue/ab_scan_r5.json, 2026-08-20)."""
     import os
 
-    return os.environ.get("EDTR_FLASH_BIGSEQ", "online")
+    return os.environ.get("EDTR_FLASH_BIGSEQ", "wholekv")
 
 
 # =============================================================================

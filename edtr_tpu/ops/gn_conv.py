@@ -756,6 +756,70 @@ def _ups_ref(x, w, b, act):
     return _ups_act(o + b.astype(cdtype), act)
 
 
+def _subpix_enabled() -> bool:
+    import os
+
+    return os.environ.get("EDTR_UPS_SUBPIX", "0") == "1"
+
+
+def _fold_subpixel_weights(w):
+    """(3, 3, cin, cout) fp32 -> (2, 2, cin, 4*cout) phase-folded taps.
+
+    ``conv3x3(nearest2x(x))`` at hi-res phase (a, b) — output pixel
+    (2i+a, 2j+b) — reads a 2-pixel-per-axis LOW-res neighborhood, because
+    nearest duplication maps the three hi-res taps onto two lo-res pixels
+    with one tap pair summed:
+
+      rows  a=0: (w[0], w[1]+w[2])   a=1: (w[0]+w[1], w[2])
+      cols  b=0: (k[:,0], k[:,1]+k[:,2])   b=1: (k[:,0]+k[:,1], k[:,2])
+
+    Folds are fp32 sums of the original taps — exact up to one float
+    reassociation per summed pair. Phase p = 2a+b occupies output
+    channels [p*cout, (p+1)*cout).
+    """
+    w = w.astype(jnp.float32)
+    rows = {0: jnp.stack([w[0], w[1] + w[2]]),       # (2, 3, cin, cout)
+            1: jnp.stack([w[0] + w[1], w[2]])}
+    phases = []
+    for a in (0, 1):
+        r = rows[a]
+        for bb in (0, 1):
+            if bb == 0:
+                k = jnp.stack([r[:, 0], r[:, 1] + r[:, 2]], axis=1)
+            else:
+                k = jnp.stack([r[:, 0] + r[:, 1], r[:, 2]], axis=1)
+            phases.append(k)                         # (2, 2, cin, cout)
+    return jnp.concatenate(phases, axis=-1)          # (2, 2, cin, 4*cout)
+
+
+def _ups_subpixel(x, w, b, act):
+    """``conv3x3(nearest2x(x))`` computed at LOW resolution.
+
+    One VALID 2x2 conv over the 1-padded lo-res input with the four
+    phase-folded kernels (:func:`_fold_subpixel_weights`), then a phase
+    interleave to (2H, 2W). vs the hi-res formulation: 16/36 = 4/9 the
+    MACs, a 128-lane-aligned 4*cout output (the SwinIR tail's cout=64
+    becomes 256), and the 2x nearest intermediate never exists. The
+    interleave is the same byte volume as the output write.
+    """
+    cdtype = x.dtype
+    bsz, hl, wl, cin = x.shape
+    cout = w.shape[-1]
+    w4 = _fold_subpixel_weights(w).astype(cdtype)
+    z = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    o = jax.lax.conv_general_dilated(
+        z, w4, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (B, hl+1, wl+1, 4*cout)
+    o = _ups_act(o + jnp.tile(b.astype(cdtype), 4), act)
+    # phase (a, b): spatial window offset a/b, channel block 2a+b
+    ph = [o[:, a:hl + a, bb:wl + bb,
+            (2 * a + bb) * cout:(2 * a + bb + 1) * cout]
+          for a in (0, 1) for bb in (0, 1)]
+    y = jnp.stack([jnp.stack(ph[0:2], axis=3),       # a=0: cols phase axis
+                   jnp.stack(ph[2:4], axis=3)], axis=2)
+    return y.reshape(bsz, hl * 2, wl * 2, cout)      # rows 2i+a, cols 2j+b
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def upsample_conv(x, w, b, act=None):
     """``act(conv3x3(nearest_upsample_2x(x)) + b)`` (NHWC, pad 1).
@@ -774,6 +838,10 @@ def upsample_conv(x, w, b, act=None):
     batch, hl, wl, cin = x.shape
     cout = w.shape[-1]
     es = jnp.dtype(x.dtype).itemsize
+    if _subpix_enabled():
+        # low-res phase-folded formulation: 4/9 the MACs, lane-aligned
+        # channels ($EDTR_UPS_SUBPIX; stage A/B decides the default)
+        return _ups_subpixel(x, w, b, act)
     if not will_fuse_ups(hl * 2, wl * 2, cin, cout, es):
         return _ups_ref(x, w, b, act)
     plan = _ups_plan(hl * 2, wl * 2, cin, cout, es,
@@ -819,7 +887,10 @@ def _ups_fwd(x, w, b, act):
 
 
 def _ups_bwd(act, res, g):
-    _, vjp = jax.vjp(lambda *a: _ups_ref(*a, act), *res)
+    # identical math either way; the subpixel formulation carries its 4/9
+    # MAC count into the transposed convs when the gate is on
+    fwd = _ups_subpixel if _subpix_enabled() else _ups_ref
+    _, vjp = jax.vjp(lambda *a: fwd(*a, act), *res)
     return vjp(g)
 
 

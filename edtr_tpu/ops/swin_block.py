@@ -65,9 +65,30 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def supported(h: int, w: int, win: int) -> bool:
-    """Shapes the fused kernels accept (flagship: h=w=64, win=8)."""
-    return h % win == 0 and w % win == 0 and h >= win and w >= win
+# v5e scoped VMEM is 16 MiB; the pre kernel's whole-image scratches are
+# the binding allocation. 14 MiB leaves headroom for Mosaic's own stack.
+# (Round-5 lesson: 1024² inputs — l=16384 tokens — blew the 16 MiB limit
+# at compile time because this bound was missing; ab_e2e_1024.log.)
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _pre_vmem_bytes(h: int, w: int, win: int, c: int, es: int = 2) -> int:
+    """swin_pre's VMEM high-water estimate: input block + two whole-image
+    (l, c) scratches + the window-row qkv/xr output slabs + params."""
+    l = h * w
+    nww = w // win
+    return es * (3 * l * c                      # in block + 2 scratches
+                 + nww * win * win * 3 * c      # qkv row slab
+                 + win * w * c                  # xr row slab
+                 + c * 3 * c + 4 * c)           # wqkv + 1-D params
+
+
+def supported(h: int, w: int, win: int, c: int = 0) -> bool:
+    """Shapes the fused kernels accept (flagship: h=w=64, win=8). With
+    ``c`` given, also requires the pre kernel's VMEM plan to fit."""
+    if not (h % win == 0 and w % win == 0 and h >= win and w >= win):
+        return False
+    return c == 0 or _pre_vmem_bytes(h, w, win, c) <= _VMEM_BUDGET
 
 
 def will_fuse(h: int, w: int, win: int, c: int) -> bool:
@@ -76,8 +97,8 @@ def will_fuse(h: int, w: int, win: int, c: int) -> bool:
     The whole layer commits to one structure — the rolled-space contract
     chains consecutive fused blocks."""
     if _FORCE_KERNEL:
-        return supported(h, w, win)
-    if jax.default_backend() != "tpu" or not supported(h, w, win):
+        return supported(h, w, win, c)
+    if jax.default_backend() != "tpu" or not supported(h, w, win, c):
         return False
     from edtr_tpu.ops import dispatch
 

@@ -42,20 +42,21 @@ def test_builtin_table_measured_entries():
                                512, 512, 256, 128)
     assert not dispatch.decide("ups_conv", "512x512x256->256",
                                512, 512, 256, 256)
-    # fused swinir stage 10.10 vs legacy 10.16 ms/img
-    assert dispatch.decide("swin_block", "64x64x180", 64, 64, 180)
+    # the r4 0.5%@10-iter swin win reversed at 50 iters: off 9.65 vs
+    # table 10.20 ms/img (ab_e2e_swinir_i50.json) -> off
+    assert not dispatch.decide("swin_block", "64x64x180", 64, 64, 180)
 
 
 def test_unknown_shape_uses_family_rule():
     # every family whose measured shapes failed the e2e gate is off for
-    # unmeasured shapes too; swin_block stays rule-on
+    # unmeasured shapes too (swin_block joined them in round 5)
     assert not dispatch.decide("geglu", "512x999->3996", 512, 999, 3996)
     assert not dispatch.decide("geglu", "512x1280->5120x9", 512, 1280, 5120)
     assert not dispatch.decide("gn_conv", "96x96x384->384", 96, 96, 384, 384)
     assert not dispatch.decide("gn_conv", "24x24x384->384", 24, 24, 384, 384)
     assert not dispatch.decide("ln_matmul", "4096x999->999x1",
                                4096, 999, 999, 1)
-    assert dispatch.decide("swin_block", "48x48x180", 48, 48, 180)
+    assert not dispatch.decide("swin_block", "48x48x180", 48, 48, 180)
 
 
 def test_env_modes(monkeypatch):
@@ -72,18 +73,18 @@ def test_table_override_file(tmp_path, monkeypatch):
     p = tmp_path / "table.json"
     p.write_text(json.dumps({
         "gn_conv": {"64x64x640->320": True, "77x77x128->128": True},
-        "swin_block": {"64x64x180": False}}))
+        "swin_block": {"64x64x180": True}}))
     monkeypatch.setenv("EDTR_KERNEL_TABLE", str(p))
     # override wins over the built-in entry (both directions)...
     assert dispatch.decide("gn_conv", "64x64x640->320", 64, 64, 640, 320)
     assert dispatch.decide("gn_conv", "77x77x128->128", 77, 77, 128, 128)
-    assert not dispatch.decide("swin_block", "64x64x180", 64, 64, 180)
+    assert dispatch.decide("swin_block", "64x64x180", 64, 64, 180)
     # ...and untouched built-ins persist (merge, not replace)
     assert not dispatch.decide("gn_conv", "512x512x256->128",
                                512, 512, 256, 128)
     monkeypatch.delenv("EDTR_KERNEL_TABLE")
     assert not dispatch.decide("gn_conv", "64x64x640->320", 64, 64, 640, 320)
-    assert dispatch.decide("swin_block", "64x64x180", 64, 64, 180)
+    assert not dispatch.decide("swin_block", "64x64x180", 64, 64, 180)
 
 
 def test_multichip_disables_every_family(monkeypatch):

@@ -279,3 +279,52 @@ def test_unsupported_falls_back(monkeypatch):
     got = gn_conv.gn_silu_conv(*args)
     np.testing.assert_allclose(np.asarray(got),
                                np.asarray(gn_conv._ref(*args)), atol=0)
+
+
+# -- subpixel nearest+conv formulation ----------------------------------------
+
+
+@pytest.mark.parametrize("act", [None, "lrelu"])
+def test_upsample_conv_subpixel_matches_ref(act):
+    """conv3x3(nearest2x(x)) == the low-res phase-folded 2x2 formulation
+    (ops/gn_conv.py:_ups_subpixel) — exact up to one fp32 weight-tap fold.
+
+    Pinned at float32 matmul precision: this platform's default CPU conv
+    runs reduced-precision (~2e-3 rel), which would mask a real phase bug.
+    """
+    g = np.random.default_rng(13)
+    for (bsz, h, w_, cin, cout) in [(2, 8, 6, 64, 64), (1, 5, 7, 3, 16),
+                                    (1, 4, 4, 180, 64)]:
+        x = jnp.asarray(g.standard_normal((bsz, h, w_, cin)), jnp.float32)
+        wk = jnp.asarray(g.standard_normal((3, 3, cin, cout)) * 0.1,
+                         jnp.float32)
+        bk = jnp.asarray(g.standard_normal(cout) * 0.1, jnp.float32)
+        with jax.default_matmul_precision("float32"):
+            ref = gn_conv._ups_ref(x, wk, bk, act)
+            sub = gn_conv._ups_subpixel(x, wk, bk, act)
+        assert sub.shape == (bsz, 2 * h, 2 * w_, cout)
+        np.testing.assert_allclose(np.asarray(sub), np.asarray(ref),
+                                   atol=2e-5)
+
+
+def test_upsample_conv_subpixel_gate_and_grad(monkeypatch):
+    """$EDTR_UPS_SUBPIX=1 routes the public API through the subpixel
+    formulation; custom-vjp grads still match the reference math."""
+    monkeypatch.setenv("EDTR_UPS_SUBPIX", "1")
+    g = np.random.default_rng(14)
+    x = jnp.asarray(g.standard_normal((1, 8, 8, 32)), jnp.float32)
+    wk = jnp.asarray(g.standard_normal((3, 3, 32, 64)) * 0.05, jnp.float32)
+    bk = jnp.asarray(g.standard_normal(64) * 0.1, jnp.float32)
+    with jax.default_matmul_precision("float32"):
+        ref = gn_conv._ups_ref(x, wk, bk, "lrelu")
+        got = gn_conv.upsample_conv(x, wk, bk, "lrelu")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+        gs = jax.grad(
+            lambda *a: (gn_conv.upsample_conv(*a, "lrelu") ** 2).mean(),
+            argnums=(0, 1, 2))(x, wk, bk)
+        gr = jax.grad(
+            lambda *a: (gn_conv._ups_ref(*a, "lrelu") ** 2).mean(),
+            argnums=(0, 1, 2))(x, wk, bk)
+    for a, r in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-5)
