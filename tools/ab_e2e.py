@@ -85,6 +85,11 @@ def main():
                          "(VERDICT r4 next #7)")
     ap.add_argument("--batch", type=int,
                     default=int(os.environ.get("EDTR_BENCH_BATCH", "8")))
+    ap.add_argument("--variants", default="",
+                    help="comma list to restrict variants (e.g. off,table); "
+                         "empty = all. Saves chip time when the families "
+                         "are table-off anyway and the A/B axis is an "
+                         "outer env knob (pad/subpix)")
     args = ap.parse_args()
     global OUT
     OUT = args.out
@@ -164,7 +169,11 @@ def main():
         fn, argf = stages[name]
         sargs = argf()
         RESULT["stages"].setdefault(name, {})
-        for vname, cfg in variants(name).items():
+        vs = variants(name)
+        if args.variants:
+            keep = set(args.variants.split(","))
+            vs = {k: v for k, v in vs.items() if k in keep}
+        for vname, cfg in vs.items():
             try:
                 set_env(cfg)
                 t0 = time.time()
