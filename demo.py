@@ -52,6 +52,14 @@ def main(args):
         for k in ("swinir", "unet", "controlnet", "vae", "clip"):
             if k in combined:
                 params[k] = combined[k]
+        if "swinir" in combined and pipe.swinir is not None and pipe.swinir.lane_pad:
+            # checkpoints are saved unpadded; re-apply the exact zero-pad
+            # relayout (utils/convert.py:pad_swinir_lanes)
+            from edtr_tpu.utils import convert as _C
+
+            params["swinir"] = _C.pad_swinir_lanes(
+                params["swinir"], lane_pad=pipe.swinir.lane_pad,
+                heads=pipe.swinir.num_heads[0])
 
     img_dir = os.path.join(args.output, "images")
     box_dir = os.path.join(args.output, "boxes")

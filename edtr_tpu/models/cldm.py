@@ -104,19 +104,27 @@ class ControlLDM:
 
     # -- init / weight surgery -------------------------------------------------
     def init_params(self, rng: jax.Array, latent_hw: int = 8) -> Params:
-        """Random init (shapes only — real runs load converted SD weights)."""
-        ks = jax.random.split(rng, 4)
-        x = jnp.zeros((1, latent_hw, latent_hw, self.unet.in_channels))
-        t = jnp.zeros((1,), jnp.int32)
-        ctx = jnp.zeros((1, self.clip.context_length, self.clip.width))
-        img = jnp.zeros((1, latent_hw * 8, latent_hw * 8, 3))
-        tokens = jnp.zeros((1, self.clip.context_length), jnp.int32)
-        return {
-            "unet": self.unet.init(ks[0], x, t, ctx)["params"],
-            "controlnet": self.controlnet.init(ks[1], x, x, t, ctx)["params"],
-            "vae": self.vae.init(ks[2], img, sample_posterior=False)["params"],
-            "clip": self.clip.init(ks[3], tokens)["params"],
-        }
+        """Random init (shapes only — real runs load converted SD weights).
+
+        Jitted as ONE program: eager flax init pays per-op tunnel RTT on
+        the axon TPU (minutes for SD2.1-scale trees — the round-1 gotcha
+        that stalled tools/verify_pad_drive.py in round 5)."""
+
+        def _init(key):
+            ks = jax.random.split(key, 4)
+            x = jnp.zeros((1, latent_hw, latent_hw, self.unet.in_channels))
+            t = jnp.zeros((1,), jnp.int32)
+            ctx = jnp.zeros((1, self.clip.context_length, self.clip.width))
+            img = jnp.zeros((1, latent_hw * 8, latent_hw * 8, 3))
+            tokens = jnp.zeros((1, self.clip.context_length), jnp.int32)
+            return {
+                "unet": self.unet.init(ks[0], x, t, ctx)["params"],
+                "controlnet": self.controlnet.init(ks[1], x, x, t, ctx)["params"],
+                "vae": self.vae.init(ks[2], img, sample_posterior=False)["params"],
+                "clip": self.clip.init(ks[3], tokens)["params"],
+            }
+
+        return jax.jit(_init)(rng)
 
     def _arch_kwargs(self, cfg: Dict[str, Any]) -> Dict[str, Any]:
         return dict(

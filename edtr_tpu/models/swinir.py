@@ -427,7 +427,7 @@ class SwinIR(nn.Module):
             # HBM (ops/gn_conv.py:upsample_conv; XLA reference inside)
             def up_conv(v, name):
                 w, b = ConvParams(3, 3, num_feat, num_feat, name=name)()
-                return gn_conv.upsample_conv(v, w, b, "lrelu")
+                return gn_conv.upsample_conv(v, w, b, "lrelu", "swinir")
 
             feat = up_conv(feat, "conv_up1")
             if self.sf >= 4:

@@ -123,7 +123,7 @@ class Upsample(nn.Module):
             w, b = ConvParams(3, 3, x.shape[-1], self.out_channels,
                               name="conv")()
             return gn_conv.upsample_conv(
-                x.astype(self.dtype or x.dtype), w, b)
+                x.astype(self.dtype or x.dtype), w, b, None, "unet")
         return nearest_upsample_2x(x)
 
 

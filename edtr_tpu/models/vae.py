@@ -126,7 +126,8 @@ class Upsample(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         w, b = ConvParams(3, 3, c, c, name="conv")()
-        return gn_conv.upsample_conv(x.astype(self.dtype or x.dtype), w, b)
+        return gn_conv.upsample_conv(x.astype(self.dtype or x.dtype), w, b,
+                                     None, "vae")
 
 
 class Encoder(nn.Module):

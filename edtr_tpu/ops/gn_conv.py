@@ -756,10 +756,27 @@ def _ups_ref(x, w, b, act):
     return _ups_act(o + b.astype(cdtype), act)
 
 
-def _subpix_enabled() -> bool:
+# Per-site subpixel defaults (round-5 interleaved same-process A/Bs,
+# results/chip_queue/ab_subpix.json + ab_swinir_pad.json, v5e bs8 512^2,
+# 3 rounds each, consistent across every round): the 4/9-MAC phase-folded
+# formulation WINS the scan stage (UNet decoder upsamples: 36.71 vs
+# 37.07 ms/img) and LOSES decode (16.77 vs 16.13) and the SwinIR tail
+# (10.13 vs 9.70) — where the convs are bandwidth-bound the phase
+# interleave relayout costs more than the MAC saving.
+_SUBPIX_SITE_DEFAULT = {"unet": True, "vae": False, "swinir": False}
+
+
+def _subpix_enabled(site=None) -> bool:
+    """EDTR_UPS_SUBPIX: '0' off everywhere, '1'/'force' on everywhere,
+    unset/'table' -> per-site measured default (_SUBPIX_SITE_DEFAULT)."""
     import os
 
-    return os.environ.get("EDTR_UPS_SUBPIX", "0") == "1"
+    mode = os.environ.get("EDTR_UPS_SUBPIX", "table")
+    if mode == "0":
+        return False
+    if mode in ("1", "force"):
+        return True
+    return _SUBPIX_SITE_DEFAULT.get(site, False)
 
 
 def _fold_subpixel_weights(w):
@@ -820,13 +837,16 @@ def _ups_subpixel(x, w, b, act):
     return y.reshape(bsz, hl * 2, wl * 2, cout)      # rows 2i+a, cols 2j+b
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def upsample_conv(x, w, b, act=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def upsample_conv(x, w, b, act=None, site=None):
     """``act(conv3x3(nearest_upsample_2x(x)) + b)`` (NHWC, pad 1).
 
     Parity: ``Upsample`` blocks (reference ``model/vae.py:87-94`` /
     ``model/unet.py:50-79``) and the SwinIR nearest+conv tail
     (``model/swinir.py:856-894``, ``act="lrelu"`` = LeakyReLU(0.2)).
+
+    ``site`` ("unet" | "vae" | "swinir" | None) picks the measured
+    per-site subpixel default (_SUBPIX_SITE_DEFAULT above).
 
     Args:
       x: (B, H, W, C) LOW-res input in compute dtype.
@@ -838,9 +858,9 @@ def upsample_conv(x, w, b, act=None):
     batch, hl, wl, cin = x.shape
     cout = w.shape[-1]
     es = jnp.dtype(x.dtype).itemsize
-    if _subpix_enabled():
+    if _subpix_enabled(site):
         # low-res phase-folded formulation: 4/9 the MACs, lane-aligned
-        # channels ($EDTR_UPS_SUBPIX; stage A/B decides the default)
+        # channels ($EDTR_UPS_SUBPIX; per-site table above)
         return _ups_subpixel(x, w, b, act)
     if not will_fuse_ups(hl * 2, wl * 2, cin, cout, es):
         return _ups_ref(x, w, b, act)
@@ -882,14 +902,14 @@ def upsample_conv(x, w, b, act=None):
     )(x, w.astype(cdtype), b.reshape(1, cout))
 
 
-def _ups_fwd(x, w, b, act):
-    return upsample_conv(x, w, b, act), (x, w, b)
+def _ups_fwd(x, w, b, act, site):
+    return upsample_conv(x, w, b, act, site), (x, w, b)
 
 
-def _ups_bwd(act, res, g):
+def _ups_bwd(act, site, res, g):
     # identical math either way; the subpixel formulation carries its 4/9
     # MAC count into the transposed convs when the gate is on
-    fwd = _ups_subpixel if _subpix_enabled() else _ups_ref
+    fwd = _ups_subpixel if _subpix_enabled(site) else _ups_ref
     _, vjp = jax.vjp(lambda *a: fwd(*a, act), *res)
     return vjp(g)
 

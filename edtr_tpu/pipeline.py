@@ -119,6 +119,22 @@ def build_pipeline_from_config(cfg, dtype=None) -> EDTRPipeline:
         sw_params = {
             k: (tuple(v) if isinstance(v, list) else v) for k, v in sw_params.items()
         }
+        # MXU lane alignment for the flagship 180-dim SwinIR (head dim
+        # 30 -> 32, width 180 -> 192 = 1.5x128 lanes). Inference configs
+        # only: the zero-pad exactness contract (models/swinir.py lane_pad)
+        # holds for loaded-then-padded params, and training from a padded
+        # init is NOT the same function. Params must go through
+        # utils/convert.py:pad_swinir_lanes (build_edtr_models does).
+        # Default ON: interleaved same-process A/B, 3 rounds x 30 iters,
+        # pad12 9.578 vs pad0 9.703 ms/img median (+1.5% consistent;
+        # results/chip_queue/ab_swinir_pad.json).
+        import os as _os
+
+        if (_os.environ.get("EDTR_SWINIR_PAD", "1") == "1"
+                and "train" not in cfg
+                and sw_params.get("embed_dim") == 180
+                and set(sw_params.get("num_heads", ())) == {6}):
+            sw_params["lane_pad"] = 12
         swinir = _SwinIR(dtype=dtype, **sw_params)
 
     cldm_cfg = model_cfg["cldm"]

@@ -61,9 +61,20 @@ def build_edtr_models(cfg: Config, dtype=jnp.bfloat16):
         if resume_swinir and os.path.exists(str(resume_swinir)):
             params["swinir"] = ckpt.load_network(str(resume_swinir), converter=conv_sw)
         else:
-            params["swinir"] = pipe.swinir.init(
+            # init through an UNPADDED twin: the lane_pad exactness
+            # contract (models/swinir.py) requires zero pad channels, which
+            # random init of the padded module would violate.
+            import dataclasses
+
+            unpadded = (dataclasses.replace(pipe.swinir, lane_pad=0)
+                        if pipe.swinir.lane_pad else pipe.swinir)
+            params["swinir"] = jax.jit(unpadded.init)(
                 jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
             )["params"]
+        if pipe.swinir.lane_pad:
+            params["swinir"] = C.pad_swinir_lanes(
+                params["swinir"], lane_pad=pipe.swinir.lane_pad,
+                heads=pipe.swinir.num_heads[0])
     return pipe, params
 
 
