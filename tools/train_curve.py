@@ -79,9 +79,32 @@ def main():
                                 weight_det=W_DET, weight_fm=W_FM, jit=False)
 
     g = 8
-    gt = jax.random.uniform(jax.random.PRNGKey(2), (BATCH, SIZE, SIZE, 3))
-    lq = jnp.clip(gt + 0.08 * jax.random.normal(
-        jax.random.PRNGKey(1), (BATCH, SIZE, SIZE, 3)), 0.0, 1.0)
+    if os.environ.get("EDTR_CURVE_GT", "noise") == "struct":
+        # Structured gt + strong degradation: the W_DET=0 HLF isolation on
+        # UNIFORM-NOISE gt is degenerate — a random-init frozen teacher
+        # maps noise images to near-identical features, so loss_hlf starts
+        # ~3e-4 with nothing to descend (train_curve_hlf.json, round 5).
+        # Smooth multi-scale patterns give differentiated teacher features;
+        # heavy blur+noise degradation makes HLF start high.
+        yy, xx = jnp.meshgrid(jnp.linspace(0, 1, SIZE),
+                              jnp.linspace(0, 1, SIZE), indexing="ij")
+        ph = jax.random.uniform(jax.random.PRNGKey(2), (BATCH, 3, 4)) * 6.28
+        fr = jax.random.uniform(jax.random.PRNGKey(6), (BATCH, 3, 4)) * 30 + 3
+        gt = jnp.clip(0.5 + 0.25 * sum(
+            jnp.sin(fr[:, :, None, None, k] * (xx if k % 2 else yy)
+                    [None, None] + ph[:, :, None, None, k])
+            for k in range(4)).transpose(0, 2, 3, 1), 0.0, 1.0)
+        blur = gt
+        for _ in range(3):  # cheap separable-ish blur via avg pooling
+            blur = jax.lax.reduce_window(
+                blur, 0.0, jax.lax.add, (1, 5, 5, 1), (1, 1, 1, 1),
+                "SAME") / 25.0
+        lq = jnp.clip(blur + 0.15 * jax.random.normal(
+            jax.random.PRNGKey(1), (BATCH, SIZE, SIZE, 3)), 0.0, 1.0)
+    else:
+        gt = jax.random.uniform(jax.random.PRNGKey(2), (BATCH, SIZE, SIZE, 3))
+        lq = jnp.clip(gt + 0.08 * jax.random.normal(
+            jax.random.PRNGKey(1), (BATCH, SIZE, SIZE, 3)), 0.0, 1.0)
     bx = jax.random.uniform(jax.random.PRNGKey(3), (BATCH, g, 2)) * (SIZE - 96)
     wh = jax.random.uniform(jax.random.PRNGKey(4), (BATCH, g, 2)) * 80 + 16
     batch = {
