@@ -49,6 +49,12 @@ def main():
     from edtr_tpu.utils.image import wavelet_reconstruction
 
     out = {"metric": "train profile", "global_batch": BATCH, "accum": ACCUM}
+    # crash resilience (r5: a relay outage at minute 74 killed the first
+    # full run with every section unprinted): sections are selectable via
+    # EDTR_TRAIN_SECTIONS and the partial JSON is re-printed after each
+    # one — consumers take the LAST matching line.
+    sections = set(os.environ.get(
+        "EDTR_TRAIN_SECTIONS", "flash_bwd,halves,policies").split(","))
 
     # ---- 2. flash backward engages under remat -----------------------------
     from flax import linen as nn
@@ -72,15 +78,19 @@ def main():
         txt = compiled.as_text()
         return txt.count("tpu_custom_call")
 
-    c_fwd = jax.jit(fwd).lower(v, x).compile()
-    c_bwd = jax.jit(jax.grad(fwd, argnums=1)).lower(v, x).compile()
-    n_fwd, n_bwd = count_mosaic(c_fwd), count_mosaic(c_bwd)
-    out["flash_bwd"] = {
-        "mosaic_calls_fwd": n_fwd,
-        "mosaic_calls_bwd": n_bwd,
-        # remat replays the fwd kernel(s) and adds dq + dkv kernels
-        "pallas_bwd_engaged": n_bwd >= n_fwd + 2,
-    }
+    if "flash_bwd" in sections:
+        c_fwd = jax.jit(fwd).lower(v, x).compile()
+        c_bwd = jax.jit(jax.grad(fwd, argnums=1)).lower(v, x).compile()
+        n_fwd, n_bwd = count_mosaic(c_fwd), count_mosaic(c_bwd)
+        out["flash_bwd"] = {
+            "mosaic_calls_fwd": n_fwd,
+            "mosaic_calls_bwd": n_bwd,
+            # remat replays the fwd kernel(s) and adds dq + dkv kernels
+            "pallas_bwd_engaged": n_bwd >= n_fwd + 2,
+        }
+        print(json.dumps(out), flush=True)
+    if not sections & {"halves", "policies"}:
+        return
 
     # ---- setup shared train state ------------------------------------------
     pipe = G._flagship_pipeline(dtype=jnp.bfloat16, tiny=False, train=True)
@@ -133,20 +143,22 @@ def main():
         res = wavelet_reconstruction(decoded, pre)
         return jnp.abs(res - mb["gt"]).mean()
 
-    f_fwd = jax.jit(hlf_loss).lower(trainable, z_pre).compile()
-    f_grad = jax.jit(jax.grad(hlf_loss)).lower(trainable, z_pre).compile()
-    ms_f = timeit_chained(f_fwd, trainable, z_pre, iters=5) * 1e3
-    ms_g = timeit_chained(f_grad, trainable, z_pre, iters=5) * 1e3
-    out["halves"] = {
-        "hlf_fwd_ms": round(ms_f, 1),
-        "hlf_grad_ms": round(ms_g, 1),
-        "bwd_over_fwd": round(ms_g / ms_f, 2),
-        "micro_batch": micro,
-    }
+    if "halves" in sections:
+        f_fwd = jax.jit(hlf_loss).lower(trainable, z_pre).compile()
+        f_grad = jax.jit(jax.grad(hlf_loss)).lower(trainable, z_pre).compile()
+        ms_f = timeit_chained(f_fwd, trainable, z_pre, iters=5) * 1e3
+        ms_g = timeit_chained(f_grad, trainable, z_pre, iters=5) * 1e3
+        out["halves"] = {
+            "hlf_fwd_ms": round(ms_f, 1),
+            "hlf_grad_ms": round(ms_g, 1),
+            "bwd_over_fwd": round(ms_g / ms_f, 2),
+            "micro_batch": micro,
+        }
+        print(json.dumps(out), flush=True)
 
     # ---- 1. remat policy A/B on the full step -------------------------------
     policies = {}
-    for pol in POLICIES:
+    for pol in (POLICIES if "policies" in sections else []):
         os.environ["EDTR_REMAT_POLICY"] = pol
         step = make_edtr_train_step(pipe, detnet=detnet, accum_steps=ACCUM,
                                     jit=False)
