@@ -25,15 +25,18 @@ kernel that beats the *isolated* XLA op still loses the *stage*:
               standalone winners; stage regresses 20%)
   scan:       all-off 37.88 vs table-on 38.39        (ln_matmul 1.47-3.3x
               standalone at K=3; stage-neutral-to-worse)
-  swinir:     fused swin_block 10.10 vs off 10.16    (the one family that
-              holds its win e2e -- it fuses an entire block, leaving no
-              fusion boundary for XLA to lose)
+  swinir:     fused swin_block 10.10 vs off 10.16    (the r4 "win" — a
+              0.5% delta at 10 iters that did NOT survive the round-5
+              50-iter variance re-check: table 10.20 vs off 9.65, a 5.4%
+              LOSS; ab_e2e_swinir_i50.json)
 
-Hence the shipped table: every geglu/ln_matmul/affine_matmul/gn_conv/
-ups_conv shape is OFF (their standalone speedups stay recorded in
-kernel_wins.json; re-enable per shape only with a NEW e2e A/B showing the
-stage win), and swin_block is ON. Shapes absent from the table use the
-per-family rule (conservative: off everywhere except swin_block).
+Hence the shipped table: EVERY family — geglu/ln_matmul/affine_matmul/
+gn_conv/ups_conv and (since round 5) swin_block — is OFF at every
+measured shape (standalone speedups stay recorded in kernel_wins.json;
+re-enable per shape only with a NEW e2e stage A/B win, measured
+interleaved in one process — cross-process deltas under ~5% are drift).
+Shapes absent from the table use the per-family rule (conservative: off
+everywhere).
 
 Env contract (one switch per family, 3-state):
 
